@@ -1,0 +1,153 @@
+"""Parity of the device LD math against the pure-Python oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ld_tools_tpu.ops import (
+    ld_block,
+    haplotype_counts,
+    allele_counts,
+    exact_ld_from_counts,
+)
+from ld_tools_tpu.ops.ld_math import round4_f32
+
+from .conftest import random_haplotypes
+from .oracle import oracle_ld
+
+
+def _oracle_matrix(G1, G2):
+    r2 = np.zeros((G1.shape[0], G2.shape[0]))
+    dp = np.zeros_like(r2)
+    for i in range(G1.shape[0]):
+        for j in range(G2.shape[0]):
+            res = oracle_ld(list(G1[i]), list(G2[j]))
+            r2[i, j] = res["r_square"]
+            dp[i, j] = res["d_prime"]
+    return r2, dp
+
+
+def test_counts_exact(rng):
+    G = random_haplotypes(rng, 40, 101)
+    c = np.asarray(haplotype_counts(jnp.array(G), jnp.array(G)))
+    expected = (G.astype(np.int64) @ G.T.astype(np.int64)).astype(np.float64)
+    np.testing.assert_array_equal(c, expected)
+    c1 = np.asarray(allele_counts(jnp.array(G)))
+    np.testing.assert_array_equal(c1, G.sum(axis=1))
+
+
+def test_counts_exact_large_haplotype_axis(rng):
+    # 5008 haplotypes (1000G scale): accumulation must stay exact.
+    G = random_haplotypes(rng, 8, 5008, maf_low=0.3, maf_high=0.9)
+    c = np.asarray(haplotype_counts(jnp.array(G), jnp.array(G)))
+    expected = (G.astype(np.int64) @ G.T.astype(np.int64)).astype(np.float64)
+    np.testing.assert_array_equal(c, expected)
+
+
+def test_fast_path_matches_oracle_within_tolerance(rng):
+    G = random_haplotypes(rng, 30, 200, maf_low=0.05, maf_high=0.95)
+    out = ld_block(jnp.array(G), jnp.array(G))
+    r2 = np.asarray(round4_f32(out["r_square"]))
+    dp = np.asarray(round4_f32(out["d_prime"]))
+    oracle_r2, oracle_dp = _oracle_matrix(G, G)
+    np.testing.assert_allclose(r2, oracle_r2, atol=2e-4)
+    np.testing.assert_allclose(dp, oracle_dp, atol=2e-4)
+
+
+def test_exact_path_bit_matches_oracle(rng):
+    G = random_haplotypes(rng, 50, 214, maf_low=0.0, maf_high=1.0)
+    c_ab = G.astype(np.int64) @ G.T.astype(np.int64)
+    c1 = G.sum(axis=1)
+    exact = exact_ld_from_counts(c_ab, c1, c1, G.shape[1])
+    r2 = exact.r_square_rounded()
+    dp = exact.d_prime_rounded()
+    for i in range(G.shape[0]):
+        for j in range(G.shape[0]):
+            res = oracle_ld(list(G[i]), list(G[j]))
+            assert r2[i, j] == res["r_square"], (i, j)
+            assert type(r2[i, j]) is type(res["r_square"]), (i, j)
+            assert dp[i, j] == res["d_prime"], (i, j)
+            assert type(dp[i, j]) is type(res["d_prime"]), (i, j)
+            pair = exact.pair(i, j)
+            assert pair == res
+            assert type(pair["r_square"]) is type(res["r_square"])
+            assert type(pair["d_prime"]) is type(res["d_prime"])
+
+
+def test_monomorphic_conventions():
+    # all-ref and all-alt variants: D' and r^2 are the int 0 sentinel.
+    n = 64
+    mono_ref = np.zeros((1, n), dtype=np.int8)
+    mono_alt = np.ones((1, n), dtype=np.int8)
+    poly = np.array([[1, 0] * (n // 2)], dtype=np.int8)
+    for mono in (mono_ref, mono_alt):
+        res = oracle_ld(list(mono[0]), list(poly[0]))
+        assert res["r_square"] == 0 and type(res["r_square"]) is int
+        assert res["d_prime"] == 0 and type(res["d_prime"]) is int
+        c_ab = mono.astype(np.int64) @ poly.T.astype(np.int64)
+        exact = exact_ld_from_counts(
+            c_ab, mono.sum(axis=1), poly.sum(axis=1), n
+        )
+        assert exact.pair(0, 0) == res
+
+
+def test_self_pair_is_perfect_ld(rng):
+    G = random_haplotypes(rng, 10, 128, maf_low=0.2, maf_high=0.8)
+    c_ab = G.astype(np.int64) @ G.T.astype(np.int64)
+    c1 = G.sum(axis=1)
+    exact = exact_ld_from_counts(c_ab, c1, c1, G.shape[1])
+    for i in range(G.shape[0]):
+        pair = exact.pair(i, i)
+        assert pair["r_square"] == 1.0
+        assert pair["d_prime"] == 1.0
+
+
+def test_symmetry(rng):
+    G = random_haplotypes(rng, 20, 150)
+    c_ab = G.astype(np.int64) @ G.T.astype(np.int64)
+    c1 = G.sum(axis=1)
+    exact = exact_ld_from_counts(c_ab, c1, c1, G.shape[1])
+    r2 = exact.r_square_rounded()
+    dp = exact.d_prime_rounded()
+    np.testing.assert_array_equal(r2, r2.T)
+    np.testing.assert_array_equal(dp, dp.T)
+
+
+def test_zero_padding_haplotype_axis_is_neutral(rng):
+    G = random_haplotypes(rng, 12, 100)
+    pad = np.zeros((12, 28), dtype=np.int8)
+    Gp = np.concatenate([G, pad], axis=1)
+    out = ld_block(jnp.array(G), jnp.array(G))
+    out_p = ld_block(jnp.array(Gp), jnp.array(Gp), n_haplotypes=100)
+    np.testing.assert_array_equal(
+        np.asarray(out["r_square"]), np.asarray(out_p["r_square"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["d_prime"]), np.asarray(out_p["d_prime"])
+    )
+
+
+def test_dprime_range(rng):
+    G = random_haplotypes(rng, 40, 128)
+    c_ab = G.astype(np.int64) @ G.T.astype(np.int64)
+    c1 = G.sum(axis=1)
+    exact = exact_ld_from_counts(c_ab, c1, c1, G.shape[1])
+    assert np.all(exact.d_prime <= 1.0 + 1e-12)
+    assert np.all(exact.d_prime >= -1.0 - 1e-12)
+    assert np.all(exact.r_square <= 1.0 + 1e-12)
+    assert np.all(exact.r_square >= 0.0)
+
+
+def test_round4_matches_python_round(rng):
+    vals = rng.random(20000) * 2 - 0.5
+    # Include exact decimal ties and tricky binary representations.
+    tricky = np.array(
+        [0.00005, 0.00015, 2.675, 0.123450000001, 0.12345, 1.0, 0.0,
+         0.99995, -0.00005, 0.82365, 0.5, 1e-9]
+    )
+    from ld_tools_tpu.ops import round4
+
+    for arr in (vals, tricky):
+        got = round4(arr)
+        want = np.array([round(float(v), 4) for v in arr])
+        np.testing.assert_array_equal(got, want)
