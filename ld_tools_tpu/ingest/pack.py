@@ -1,0 +1,111 @@
+"""Packed haplotype store: the runtime data plane.
+
+One directory per chromosome under ``<intgen_dir>/tpu_store/``:
+
+  chr<N>/
+    gt.npy        uint8 (V, ceil(H/8))  -- bitpacked {0,1} haplotype matrix
+    pos.npy       int64 (V,)            -- hg38 positions, ascending
+    rsid.npy      unicode (V,)
+    ref.npy       unicode (V,)
+    alt.npy       unicode (V,)          -- comma-joined ALT alleles
+    vt.npy        unicode (V,)          -- comma-joined INFO VT values
+    meta.json     {"chrom", "n_variants", "n_haplotypes", "samples": [...]}
+
+This replaces the reference's runtime combination of tabix random access
+into VCFs (reference ld_area.py:215-217) and per-record Python genotype
+gathering (ld_area.py:230-235): all three workloads become array slicing +
+device matmuls over the unpacked matrix.  Bitpacking gives 8x smaller disk
+footprint and host->device transfer of int8 after unpack; haplotype columns
+are ordered as (sample_0 hapA, sample_0 hapB, sample_1 hapA, ...) in VCF
+header sample order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+STORE_DIR_NAME = "tpu_store"
+
+
+def store_root(intgen_dir_path: str) -> str:
+    return os.path.join(intgen_dir_path, STORE_DIR_NAME)
+
+
+def chrom_dir(intgen_dir_path: str, chrom: str) -> str:
+    return os.path.join(store_root(intgen_dir_path), f"chr{chrom}")
+
+
+def is_packed(intgen_dir_path: str, chrom: str) -> bool:
+    """Idempotency check: meta.json is written last, so its presence
+    marks a complete pack (reference's artifact-existence resumability,
+    prep_intgen_data.py:30,83,123,136,147)."""
+    return os.path.exists(os.path.join(chrom_dir(intgen_dir_path, chrom), "meta.json"))
+
+
+def write_chrom(
+    intgen_dir_path: str,
+    chrom: str,
+    genotypes: np.ndarray,
+    pos: np.ndarray,
+    rsid,
+    ref,
+    alt,
+    vt,
+    samples,
+) -> str:
+    """Write one chromosome's packed arrays; atomic via meta-last ordering."""
+    d = chrom_dir(intgen_dir_path, chrom)
+    os.makedirs(d, exist_ok=True)
+    genotypes = np.ascontiguousarray(genotypes, dtype=np.uint8)
+    n_variants, n_haplotypes = genotypes.shape
+    np.save(os.path.join(d, "gt.npy"), np.packbits(genotypes, axis=1))
+    np.save(os.path.join(d, "pos.npy"), np.asarray(pos, dtype=np.int64))
+    np.save(os.path.join(d, "rsid.npy"), np.asarray(rsid))
+    np.save(os.path.join(d, "ref.npy"), np.asarray(ref))
+    np.save(os.path.join(d, "alt.npy"), np.asarray(alt))
+    np.save(os.path.join(d, "vt.npy"), np.asarray(vt))
+    meta = {
+        "chrom": chrom,
+        "n_variants": int(n_variants),
+        "n_haplotypes": int(n_haplotypes),
+        "samples": list(samples),
+    }
+    tmp = os.path.join(d, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(d, "meta.json"))
+    return d
+
+
+def read_meta(intgen_dir_path: str, chrom: str) -> dict:
+    with open(os.path.join(chrom_dir(intgen_dir_path, chrom), "meta.json")) as fh:
+        return json.load(fh)
+
+
+def read_genotypes(intgen_dir_path: str, chrom: str, n_haplotypes: int) -> np.ndarray:
+    """Unpack gt.npy to an int8 (V, H) matrix."""
+    d = chrom_dir(intgen_dir_path, chrom)
+    packed = np.load(os.path.join(d, "gt.npy"))
+    return np.unpackbits(packed, axis=1, count=n_haplotypes).astype(np.int8)
+
+
+def read_sidecar(intgen_dir_path: str, chrom: str, name: str) -> np.ndarray:
+    return np.load(
+        os.path.join(chrom_dir(intgen_dir_path, chrom), f"{name}.npy")
+    )
+
+
+def list_chroms(intgen_dir_path: str) -> list:
+    root = store_root(intgen_dir_path)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("chr") and os.path.exists(
+            os.path.join(root, name, "meta.json")
+        ):
+            out.append(name[3:])
+    return out

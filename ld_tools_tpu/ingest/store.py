@@ -1,0 +1,107 @@
+"""HaplotypeStore: runtime access to the packed per-chromosome arrays.
+
+The query surface the three workloads need (SURVEY.md §3):
+
+- rsID -> row (reference: SQLite ``variants`` lookups, ld_lite.py:41);
+- position window -> row range (reference: tabix ``fetch(chrom, lo, hi)``,
+  ld_area.py:215-217) — positions are sorted, so this is a searchsorted;
+- cohort -> haplotype column indices (reference: per-record dict lookups
+  over sample names, ld_area.py:230-235).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ld_tools_tpu.ingest import pack
+
+
+class ChromData:
+    """One chromosome's packed haplotype matrix + sidecars, lazily unpacked."""
+
+    def __init__(self, intgen_dir_path: str, chrom: str):
+        self.chrom = chrom
+        self._dir = intgen_dir_path
+        meta = pack.read_meta(intgen_dir_path, chrom)
+        self.n_variants = meta["n_variants"]
+        self.n_haplotypes = meta["n_haplotypes"]
+        self.samples = meta["samples"]
+        self.pos = pack.read_sidecar(intgen_dir_path, chrom, "pos")
+        self._rsid = None
+        self._G = None
+        self._row_index = None
+        self._ann = {}
+
+    @property
+    def rsid(self) -> np.ndarray:
+        if self._rsid is None:
+            self._rsid = pack.read_sidecar(self._dir, self.chrom, "rsid")
+        return self._rsid
+
+    @property
+    def genotypes(self) -> np.ndarray:
+        """(V, H) int8 {0,1}; unpacked once and cached."""
+        if self._G is None:
+            self._G = pack.read_genotypes(self._dir, self.chrom, self.n_haplotypes)
+        return self._G
+
+    def annotation(self, name: str) -> np.ndarray:
+        """'ref' | 'alt' | 'vt' sidecar."""
+        if name not in self._ann:
+            self._ann[name] = pack.read_sidecar(self._dir, self.chrom, name)
+        return self._ann[name]
+
+    def row_of(self, rsid: str):
+        """Row index of an rsID, or None (first match wins, like the
+        reference's ``cursor.fetchone()`` on the ID index, ld_lite.py:41-42)."""
+        if self._row_index is None:
+            idx = {}
+            for i, rid in enumerate(self.rsid):
+                idx.setdefault(rid, i)
+            self._row_index = idx
+        return self._row_index.get(rsid)
+
+    def window(self, low_bound: int, high_bound: int):
+        """Row range [start, stop) with low_bound < pos <= high_bound.
+
+        Matches pysam/tabix fetch(chrom, low, high) half-open 0-based
+        semantics on 1-based VCF positions (reference ld_area.py:215-217).
+        """
+        start = int(np.searchsorted(self.pos, low_bound, side="right"))
+        stop = int(np.searchsorted(self.pos, high_bound, side="right"))
+        return start, stop
+
+    def haplotype_columns(self, sample_names) -> np.ndarray:
+        """Column indices for a cohort: (2i, 2i+1) per present sample.
+
+        Samples absent from the VCF are silently skipped, mirroring the
+        reference's per-record KeyError pass (ld_area.py:233-235).
+        """
+        col_of = {name: i for i, name in enumerate(self.samples)}
+        cols = []
+        for name in sample_names:
+            i = col_of.get(name)
+            if i is not None:
+                cols.append(2 * i)
+                cols.append(2 * i + 1)
+        return np.asarray(cols, dtype=np.int64)
+
+    def cohort_genotypes(self, sample_names) -> np.ndarray:
+        """(V, 2 * n_present_samples) int8 for the cohort."""
+        return self.genotypes[:, self.haplotype_columns(sample_names)]
+
+
+class HaplotypeStore:
+    """All packed chromosomes under one 1000G data directory."""
+
+    def __init__(self, intgen_dir_path: str):
+        self.intgen_dir_path = intgen_dir_path
+        self._chroms = {}
+
+    def chroms(self) -> list:
+        return pack.list_chroms(self.intgen_dir_path)
+
+    def chrom(self, chrom: str) -> ChromData:
+        if chrom not in self._chroms:
+            self._chroms[chrom] = ChromData(self.intgen_dir_path, chrom)
+        return self._chroms[chrom]
