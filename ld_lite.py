@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""ld_lite entry point: pair LD to the terminal.
+
+Invocation-compatible with reference ld_lite.py (``python3 ld_lite.py
+rs1 rs2 -D <dir> ...``); locale selects RU/EN help like the reference
+(ld_lite.py:64-67).
+"""
+
+__version__ = "V1.0-tpu"
+
+import locale
+import sys
+
+sys.dont_write_bytecode = True
+
+
+def main():
+    loc = locale.getdefaultlocale()[0]
+    if loc is not None and loc[:2] == "ru":
+        from ld_tools_tpu.cli.ld_lite_cli_ru import add_args_ru as add_args
+    else:
+        from ld_tools_tpu.cli.ld_lite_cli_en import add_args_en as add_args
+    args = add_args(__version__)
+    from ld_tools_tpu.tools.lite import run
+
+    print(run(args))
+
+
+if __name__ == "__main__":
+    main()

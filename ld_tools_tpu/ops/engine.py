@@ -1,0 +1,101 @@
+"""Device engine used by the workload tools.
+
+Wraps the count matmuls with shape padding (stable jit cache keys) and
+host-blocked streaming so tool code never hands XLA a ragged shape.
+Counts come back to the host as exact integers and are finished bit-exactly
+in f64 (ops/exact.py); the all-device fused path lives in ops/ld_pallas.py
+and ops/ld_math.py and is used by the benchmarks and the array API.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ld_tools_tpu.ops.exact import ExactLD, exact_ld_from_counts
+from ld_tools_tpu.ops.ld_math import allele_counts, haplotype_counts
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _counts_kernel(a, b):
+    return haplotype_counts(a, b), allele_counts(a), allele_counts(b)
+
+
+def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:
+    if x.shape[0] == rows:
+        return x
+    out = np.zeros((rows, x.shape[1]), dtype=x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def _pad_cols(x: np.ndarray, cols: int) -> np.ndarray:
+    if x.shape[1] == cols:
+        return x
+    out = np.zeros((x.shape[0], cols), dtype=x.dtype)
+    out[:, : x.shape[1]] = x
+    return out
+
+
+def pair_counts(a: np.ndarray, b: np.ndarray, row_pad: int = 128, hap_pad: int = 512):
+    """Exact co-occurrence + allele counts for two {0,1} blocks.
+
+    Pads the variant axes to multiples of ``row_pad`` and the haplotype axis
+    to ``hap_pad`` (zero padding is count-neutral; the true haplotype count
+    travels separately) so repeated tool calls with nearby shapes reuse one
+    compiled executable.  Returns numpy (c_ab, c1, c2) trimmed to true shape.
+    """
+    n_hap = a.shape[1]
+    assert b.shape[1] == n_hap
+    va, vb = a.shape[0], b.shape[0]
+    h = _round_up(max(n_hap, 1), hap_pad)
+    ap = _pad_cols(_pad_rows(a, _round_up(max(va, 1), row_pad)), h)
+    bp = _pad_cols(_pad_rows(b, _round_up(max(vb, 1), row_pad)), h)
+    c_ab, c1, c2 = _counts_kernel(jnp.asarray(ap), jnp.asarray(bp))
+    return (
+        np.asarray(c_ab)[:va, :vb],
+        np.asarray(c1)[:va],
+        np.asarray(c2)[:vb],
+    )
+
+
+def exact_pair_ld(a: np.ndarray, b: np.ndarray, n_haplotypes=None) -> ExactLD:
+    """Counts on device, bit-exact finish on host."""
+    if n_haplotypes is None:
+        n_haplotypes = a.shape[1]
+    c_ab, c1, c2 = pair_counts(a, b)
+    return exact_ld_from_counts(c_ab, c1, c2, n_haplotypes)
+
+
+def exact_all_pairs(G: np.ndarray, block: int = 4096) -> ExactLD:
+    """All-pairs LD for one chromosome set, streamed in device blocks.
+
+    For V <= block this is a single device call; larger V streams block
+    pairs (only the lower triangle's blocks are computed; the symmetric
+    upper half is mirrored on the host).
+    """
+    v, h = G.shape
+    if v <= block:
+        return exact_pair_ld(G, G)
+    c_ab = np.empty((v, v), dtype=np.float64)
+    c1_full = np.empty((v,), dtype=np.float64)
+    starts = list(range(0, v, block))
+    for i in starts:
+        a = G[i : i + block]
+        for j in starts:
+            if j > i:
+                continue
+            cb, c1, _ = pair_counts(a, G[j : j + block])
+            c_ab[i : i + block, j : j + block] = cb
+            if j == i:
+                c1_full[i : i + block] = c1
+            else:
+                c_ab[j : j + block, i : i + block] = cb.T
+    return exact_ld_from_counts(c_ab, c1_full, c1_full, h)

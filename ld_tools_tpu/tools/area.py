@@ -1,0 +1,261 @@
+"""ld_area: LD-threshold neighborhood search around query variants.
+
+TPU-native rework of reference ld_area.py: the reference re-fetches and
+re-gathers genotypes per opponent variant and calls the Python LD kernel
+per pair inside a window scan (ld_area.py:215-249).  Here each chromosome's
+cohort matrix is sliced once from the packed store; all query variants are
+batched into device count matmuls against their windows, thresholds are
+applied to the bit-exact rounded values on the host, and the per-query
+result files are written in the reference's exact formats (TSV/JSON/rsids
+with UCSC-style headers, query-variant annotation row, no file when no
+hits — ld_area.py:82-292).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from ld_tools_tpu.ingest import create_src_dict
+from ld_tools_tpu.io.writers import AreaResultWriter, makedirs
+from ld_tools_tpu.ops.engine import pair_counts
+from ld_tools_tpu.ops.exact import exact_ld_from_counts
+from ld_tools_tpu.tools.common import DataConfig
+from ld_tools_tpu.utils.logging import get_logger
+
+log = get_logger("tools.area")
+
+# Above this many pair cells, a chromosome's queries stream window-by-window
+# instead of one dense (queries x all-variants) device call.
+_DENSE_CELL_LIMIT = 16_000_000
+
+
+@dataclasses.dataclass(frozen=True)
+class AreaConfig:
+    src_dir_path: str
+    trg_top_dir_path: str
+    meta_lines_quan: int
+    flank_size: int
+    ld_thres_measure: str
+    ld_low_thres: float
+    trg_file_type: str
+
+    @staticmethod
+    def from_args(args):
+        src = os.path.normpath(args.src_dir_path)
+        trg = (
+            src
+            if args.trg_top_dir_path is None
+            else os.path.normpath(args.trg_top_dir_path)
+        )
+        return AreaConfig(
+            src_dir_path=src,
+            trg_top_dir_path=trg,
+            meta_lines_quan=args.meta_lines_quan,
+            flank_size=args.flank_size,
+            ld_thres_measure=args.ld_thres_measure,
+            ld_low_thres=args.ld_low_thres,
+            trg_file_type=args.trg_file_type,
+        )
+
+
+class AreaRunner:
+    """Per-source-file neighborhood search (the reference's PrepSingleProc
+    analogue, ld_area.py:16-60 — config frozen once, then reused)."""
+
+    def __init__(self, data: DataConfig, config: AreaConfig):
+        self.data = data
+        self.config = config
+        self._store = data.store()
+
+    def process_file(self, src_file_name: str) -> int:
+        """Run the search for one source table; returns number of result
+        files written."""
+        cfg = self.config
+        data_by_chrs = create_src_dict(
+            cfg.src_dir_path,
+            src_file_name,
+            cfg.meta_lines_quan,
+            self.data.intgen_convdb_path,
+        )
+        src_file_base = src_file_name.rsplit(".", maxsplit=1)[0]
+        trg_dir_path = os.path.join(
+            cfg.trg_top_dir_path, f"{src_file_base}_in_LD"
+        )
+        ext = cfg.trg_file_type if cfg.trg_file_type in ("tsv", "json") else "txt"
+        meta_keys = [
+            "chr",
+            "gends",
+            "pops",
+            "each_flank",
+            f"{cfg.ld_thres_measure}_thres",
+        ]
+        written = 0
+        for chrom in data_by_chrs:
+            chr_dir_path = os.path.join(trg_dir_path, chrom)
+            makedirs(chr_dir_path)
+            meta_vals = [
+                chrom,
+                self.data.gend_names,
+                self.data.pop_names,
+                cfg.flank_size,
+                cfg.ld_low_thres,
+            ]
+            written += self._process_chrom(
+                chrom,
+                data_by_chrs[chrom],
+                chr_dir_path,
+                ext,
+                meta_keys,
+                meta_vals,
+            )
+        return written
+
+    def _process_chrom(
+        self, chrom, var_rows, chr_dir_path, ext, meta_keys, meta_vals
+    ) -> int:
+        cfg = self.config
+        cd = self._store.chrom(chrom)
+        cols = cd.haplotype_columns(self.data.sample_names)
+        G = cd.genotypes[:, cols]
+        n_hap = G.shape[1]
+        pos = cd.pos
+        rsid = cd.rsid
+        ref_ann = cd.annotation("ref")
+        alt_ann = cd.annotation("alt")
+        vt_ann = cd.annotation("vt")
+
+        # Resolve query rows; unknown-at-position rsIDs are skipped with a
+        # warning (the reference would crash with UnboundLocalError here —
+        # ld_area.py:158, quirk not replicated).
+        queries = []
+        for _, q_rsid in var_rows:
+            row = cd.row_of(q_rsid)
+            if row is None:
+                log.warning("query %s not present in packed chr%s; skipped",
+                            q_rsid, chrom)
+                continue
+            queries.append(row)
+        if not queries:
+            return 0
+
+        q_rows = np.asarray(queries, dtype=np.int64)
+        windows = []
+        for row in q_rows:
+            q_pos = int(pos[row])
+            low = max(q_pos - cfg.flank_size, 0)
+            high = q_pos + cfg.flank_size
+            windows.append(cd.window(low, high))
+
+        if len(q_rows) * G.shape[0] <= _DENSE_CELL_LIMIT:
+            # One dense device call: all queries x whole chromosome.
+            c_ab, c1q, c1all = pair_counts(G[q_rows], G)
+            exacts = exact_ld_from_counts(c_ab, c1q, c1all, n_hap)
+            r2_all = exacts.r_square_rounded()
+            dp_all = exacts.d_prime_rounded()
+
+            def get_block(qi, start, stop):
+                return (
+                    r2_all[qi, start:stop],
+                    dp_all[qi, start:stop],
+                    exacts.p2[start:stop],
+                    exacts.p1[qi],
+                )
+        else:
+            get_block = None
+
+        written = 0
+        for qi, row in enumerate(q_rows):
+            q_pos = int(pos[row])
+            q_rsid = str(rsid[row])
+            start, stop = windows[qi]
+            if get_block is not None:
+                r2_win, dp_win, p2_win, p_q = get_block(qi, start, stop)
+            else:
+                c_ab, c1q, c2 = pair_counts(G[row : row + 1], G[start:stop])
+                ex = exact_ld_from_counts(c_ab, c1q, c2, n_hap)
+                r2_win = ex.r_square_rounded()[0]
+                dp_win = ex.d_prime_rounded()[0]
+                p2_win = ex.p2
+                p_q = ex.p1[0]
+
+            query_alt_freq = round(float(p_q), 4)
+            query_ann = [
+                q_pos,
+                q_rsid,
+                str(ref_ann[row]),
+                str(alt_ann[row]),
+                str(vt_ann[row]),
+                query_alt_freq,
+            ] + ["quer"] * 3
+            trg_file_name = (
+                f"{q_rsid}_chr{chrom}_{cfg.ld_thres_measure[0]}_"
+                f"{str(cfg.ld_low_thres)}.{ext}"
+            )
+            writer = AreaResultWriter(
+                os.path.join(chr_dir_path, trg_file_name),
+                cfg.trg_file_type,
+                meta_keys,
+                meta_vals,
+                query_ann,
+            )
+            measure_win = (
+                r2_win if cfg.ld_thres_measure == "r_square" else dp_win
+            )
+            for k in range(stop - start):
+                o_row = start + k
+                o_rsid = str(rsid[o_row])
+                if o_rsid == q_rsid:
+                    continue
+                if measure_win[k] < cfg.ld_low_thres:
+                    continue
+                writer.add_opponent(
+                    [
+                        int(pos[o_row]),
+                        o_rsid,
+                        str(ref_ann[o_row]),
+                        str(alt_ann[o_row]),
+                        str(vt_ann[o_row]),
+                        round(float(p2_win[k]), 4),
+                        r2_win[k],
+                        dp_win[k],
+                        int(pos[o_row]) - q_pos,
+                    ]
+                )
+            if writer.flush():
+                written += 1
+        return written
+
+
+def run(args) -> int:
+    """CLI entry: process every file in the source directory.
+
+    The reference fans source files out over a process pool capped at 8
+    (ld_area.py:324-339); device work serializes on the accelerator, so
+    files run sequentially here and parallelism lives on the device mesh
+    (ld_tools_tpu/parallel/).  Returns total result files written.
+    """
+    import datetime
+
+    data = DataConfig.resolve(
+        args.intgen_dir_path,
+        args.skip_intgen_data_ver,
+        args.gend_names,
+        args.pop_names,
+    )
+    config = AreaConfig.from_args(args)
+    runner = AreaRunner(data, config)
+    src_file_names = sorted(os.listdir(config.src_dir_path))
+
+    print("\nSelecting variants in LD and in window")
+    t0 = datetime.datetime.now()
+    total = 0
+    for name in src_file_names:
+        full = os.path.join(config.src_dir_path, name)
+        if not os.path.isfile(full):
+            continue
+        total += runner.process_file(name)
+    print(f"\tcomputation time: {datetime.datetime.now() - t0}")
+    return total

@@ -1,0 +1,291 @@
+"""End-to-end tool tests: synthetic store -> tool runs -> file parity."""
+
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+
+from ld_tools_tpu.ingest import (
+    HaplotypeStore,
+    get_sample_names,
+    prep_intgen_data,
+    synth,
+)
+from ld_tools_tpu.tools import area, lite, triangle
+from ld_tools_tpu.tools.common import (
+    DifChrsError,
+    NotInIntgenConvDbError,
+    NotRsIdError,
+)
+
+from .oracle import oracle_ld
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("intgen"))
+    rs_by_chrom = synth.generate_dataset(
+        d, n_samples=25, chrom_variant_counts={"5": 18, "11": 7}, seed=42
+    )
+    db = prep_intgen_data(d)
+    src = str(tmp_path_factory.mktemp("src"))
+    all_rs = list(rs_by_chrom["5"]) + list(rs_by_chrom["11"])
+    with open(os.path.join(src, "query.txt"), "w") as fh:
+        fh.write("\n".join(all_rs) + "\n")
+    return types.SimpleNamespace(
+        intgen=d, db=db, rs_by_chrom=rs_by_chrom, src=src
+    )
+
+
+def _cohort_lists(env, chrom, rsids):
+    """Genotype lists per rsID the way the reference gathers them."""
+    store = HaplotypeStore(env.intgen)
+    cd = store.chrom(chrom)
+    samples = get_sample_names(("male", "female"), ("ALL",), env.db)
+    cols = cd.haplotype_columns(samples)
+    return {r: list(map(int, cd.genotypes[cd.row_of(r)][cols])) for r in rsids}
+
+
+def _lite_args(env, rs1, rs2, **kw):
+    return types.SimpleNamespace(
+        rs_id_1=rs1,
+        rs_id_2=rs2,
+        intgen_dir_path=env.intgen,
+        skip_intgen_data_ver=True,
+        gend_names=kw.get("gend_names", "both"),
+        pop_names=kw.get("pop_names", "all"),
+    )
+
+
+def test_lite_table(env):
+    rs = list(env.rs_by_chrom["5"])
+    table = lite.run(_lite_args(env, rs[0], rs[3]))
+    gl = _cohort_lists(env, "5", [rs[0], rs[3]])
+    expected = oracle_ld(gl[rs[0]], gl[rs[3]])
+    assert str(expected["r_square"]) in table
+    assert str(expected["d_prime"]) in table
+    assert rs[0] in table and rs[3] in table
+    pos_diff = abs(env.rs_by_chrom["5"][rs[0]] - env.rs_by_chrom["5"][rs[3]])
+    assert str(pos_diff) in table
+
+
+def test_lite_errors(env):
+    with pytest.raises(NotRsIdError):
+        lite.run(_lite_args(env, "notanid", "rs10001"))
+    with pytest.raises(NotInIntgenConvDbError):
+        lite.run(_lite_args(env, "rs999999999", "rs10001"))
+    rs5 = list(env.rs_by_chrom["5"])[0]
+    rs11 = list(env.rs_by_chrom["11"])[0]
+    with pytest.raises(DifChrsError):
+        lite.run(_lite_args(env, rs5, rs11))
+
+
+def _area_args(env, trg, **kw):
+    return types.SimpleNamespace(
+        src_dir_path=env.src,
+        intgen_dir_path=env.intgen,
+        trg_top_dir_path=trg,
+        meta_lines_quan=0,
+        skip_intgen_data_ver=True,
+        gend_names="both",
+        pop_names="all",
+        flank_size=kw.get("flank_size", 10**6),
+        ld_thres_measure=kw.get("measure", "r_square"),
+        ld_low_thres=kw.get("thres", 0.5),
+        trg_file_type=kw.get("file_type", "tsv"),
+        max_proc_quan=4,
+    )
+
+
+def test_area_tsv_matches_oracle(env, tmp_path):
+    trg = str(tmp_path)
+    area.run(_area_args(env, trg, thres=0.5))
+    rs5 = list(env.rs_by_chrom["5"])
+    gl = _cohort_lists(env, "5", rs5)
+    chr_dir = os.path.join(trg, "query_in_LD", "5")
+    assert os.path.isdir(chr_dir)
+
+    found_any = False
+    for q in rs5:
+        path = os.path.join(chr_dir, f"{q}_chr5_r_0.5.tsv")
+        # expected opponents per the oracle
+        expected = {}
+        for o in rs5:
+            if o == q:
+                continue
+            res = oracle_ld(gl[q], gl[o])
+            if res["r_square"] >= 0.5:
+                expected[o] = res
+        if not expected:
+            assert not os.path.exists(path)
+            continue
+        found_any = True
+        with open(path) as fh:
+            lines = fh.read().splitlines()
+        assert lines[0].startswith('##chr="5" gends="male","female" pops="ALL"')
+        assert "each_flank=1000000" in lines[0]
+        assert "r_square_thres=0.5" in lines[0]
+        assert lines[1] == "#hg38_pos\trsID\tref\talt\ttype\talt_freq\tr2\tD'\tdist"
+        query_row = lines[2].split("\t")
+        assert query_row[1] == q
+        assert query_row[6:9] == ["quer", "quer", "quer"]
+        got = {}
+        for line in lines[3:]:
+            f = line.split("\t")
+            got[f[1]] = f
+            # dist column is signed opponent_pos - query_pos
+            assert int(f[8]) == int(f[0]) - env.rs_by_chrom["5"][q]
+        assert set(got) == set(expected)
+        for o, res in expected.items():
+            assert got[o][6] == str(res["r_square"])
+            assert got[o][7] == str(res["d_prime"])
+            assert got[o][5] == str(res["var_2_alt_freq"])
+    assert found_any, "no query produced hits; fixture too weak"
+
+
+def test_area_json_and_rsids(env, tmp_path):
+    trg_json = str(tmp_path / "j")
+    area.run(_area_args(env, trg_json, thres=0.5, file_type="json"))
+    chr_dir = os.path.join(trg_json, "query_in_LD", "5")
+    files = os.listdir(chr_dir)
+    assert files and all(f.endswith(".json") for f in files)
+    with open(os.path.join(chr_dir, files[0])) as fh:
+        obj = json.load(fh)
+    assert obj[0]["chr"] == "5"
+    assert obj[0]["gends"] == ["male", "female"]
+    assert obj[1]["r2"] == "quer"
+    assert len(obj) >= 3
+    for entry in obj[2:]:
+        assert set(entry) == {
+            "hg38_pos", "rsID", "ref", "alt", "type", "alt_freq",
+            "r2", "D'", "dist",
+        }
+
+    trg_rs = str(tmp_path / "r")
+    area.run(_area_args(env, trg_rs, thres=0.5, file_type="rsids"))
+    chr_dir = os.path.join(trg_rs, "query_in_LD", "5")
+    files = os.listdir(chr_dir)
+    assert files and all(f.endswith(".txt") for f in files)
+    with open(os.path.join(chr_dir, files[0])) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("##")
+    assert lines[1] == "#rsID"
+    assert all(r.startswith("rs") for r in lines[2:])
+
+
+def test_area_high_threshold_writes_nothing(env, tmp_path):
+    trg = str(tmp_path)
+    written = area.run(_area_args(env, trg, thres=1.1))
+    assert written == 0
+    chr_dir = os.path.join(trg, "query_in_LD", "5")
+    # chromosome dirs are created (reference behavior) but stay empty
+    assert os.path.isdir(chr_dir) and os.listdir(chr_dir) == []
+
+
+def _triangle_args(env, trg, **kw):
+    return types.SimpleNamespace(
+        src_dir_path=env.src,
+        intgen_dir_path=env.intgen,
+        trg_top_dir_path=trg,
+        meta_lines_quan=0,
+        skip_intgen_data_ver=True,
+        gend_names="both",
+        pop_names="all",
+        ld_measure=kw.get("measure", "r_square"),
+        ld_low_thres=kw.get("thres", None),
+        matrix_type=kw.get("matrix_type", "both"),
+        heatmap_json=kw.get("heatmap_json", True),
+        disp_letters=kw.get("disp_letters", False),
+        color_pal=kw.get("color_pal", "greens"),
+        font_size=None,
+        square_shape=False,
+        dont_disp_footer=False,
+        max_proc_quan=4,
+    )
+
+
+def test_triangle_tsv_matches_oracle(env, tmp_path):
+    trg = str(tmp_path)
+    n = triangle.run(_triangle_args(env, trg))
+    assert n == 2  # one matrix per chromosome
+    matr_dir = os.path.join(trg, "query_LD_matr")
+    tsv_path = os.path.join(matr_dir, "query_chr5_r.tsv")
+    with open(tsv_path) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("##General\tinfo:\tr_square\tchr5\tALL")
+    assert lines[1] == ""
+    rsids = lines[2].split("\t")[2:]
+    poss = list(map(int, lines[3].split("\t")[2:]))
+    assert poss == sorted(poss)
+    gl = _cohort_lists(env, "5", rsids)
+    matrix = [line.split("\t") for line in lines[4:]]
+    assert len(matrix) == len(rsids)
+    for i, row in enumerate(matrix):
+        assert row[0] == rsids[i]
+        assert int(row[1]) == poss[i]
+        vals = row[2:]
+        for j in range(len(rsids)):
+            if i <= j:
+                assert vals[j] == "0"
+            else:
+                expected = oracle_ld(gl[rsids[i]], gl[rsids[j]])
+                assert vals[j] == str(expected["r_square"]), (i, j)
+
+
+def test_triangle_threshold_zeroes_cells(env, tmp_path):
+    trg = str(tmp_path)
+    triangle.run(_triangle_args(env, trg, thres=0.9, matrix_type="table"))
+    tsv_path = os.path.join(trg, "query_LD_matr", "query_chr5_r.tsv")
+    with open(tsv_path) as fh:
+        lines = fh.read().splitlines()
+    rsids = lines[2].split("\t")[2:]
+    gl = _cohort_lists(env, "5", rsids)
+    matrix = [line.split("\t") for line in lines[4:]]
+    for i, row in enumerate(matrix):
+        for j in range(i):
+            expected = oracle_ld(gl[rsids[i]], gl[rsids[j]])
+            want = (
+                str(expected["r_square"])
+                if expected["r_square"] >= 0.9
+                else "0"
+            )
+            assert row[2 + j] == want
+
+
+def test_triangle_heatmap_outputs(env, tmp_path):
+    trg = str(tmp_path)
+    triangle.run(_triangle_args(env, trg, disp_letters=True))
+    matr_dir = os.path.join(trg, "query_LD_matr")
+    html_path = os.path.join(matr_dir, "query_chr5_r.html")
+    json_path = os.path.join(matr_dir, "query_chr5_r.json")
+    assert os.path.exists(html_path)
+    with open(json_path) as fh:
+        fig = json.load(fh)
+    trace = fig["data"][0]
+    assert trace["type"] == "heatmap"
+    n = len(trace["z"])
+    assert n == 18
+    assert trace["x"] == trace["y"] and len(trace["x"]) == n
+    assert trace["hoverinfo"] == "text"
+    # hovertext exists pre-threshold for lower-triangle cells
+    assert "r2:" in trace["hovertext"][2][1]
+    assert fig["layout"]["yaxis"]["autorange"] == "reversed"
+    assert len(fig["layout"]["annotations"]) == n * n
+    with open(html_path) as fh:
+        html = fh.read()
+    assert "canvas" in html and "hovertext" in html
+
+
+def test_triangle_single_variant_chrom_skipped(env, tmp_path):
+    src = str(tmp_path / "src1")
+    os.makedirs(src)
+    one = list(env.rs_by_chrom["11"])[0]
+    with open(os.path.join(src, "one.txt"), "w") as fh:
+        fh.write(one + "\n")
+    args = _triangle_args(env, str(tmp_path / "t"))
+    args.src_dir_path = src
+    n = triangle.run(args)
+    assert n == 0
+    assert not os.path.exists(os.path.join(str(tmp_path / "t"), "one_LD_matr"))
