@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Headline benchmark: all-pairs r^2 variant-pairs/sec/chip.
+
+BASELINE.md primary metric: variant-pairs/sec/chip on the ld_triangle
+all-pairs r^2 sweep (10k-variant matrix).  The device path is the fused
+Pallas lower-triangle kernel (ops/ld_pallas.py); the baseline is the
+measured throughput of the reference's pure-Python per-pair kernel
+(backend/calc_ld.py semantics, reimplemented in tests/oracle.py) on the
+same 5,008-haplotype vectors — conservative, since the real reference
+also re-fetches genotypes from VCF per pair (ld_triangle.py:158-186).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def measure_baseline_pairs_per_sec(n_hap: int = 5008) -> float:
+    """Reference per-pair Python kernel rate on 1000G-scale vectors."""
+    sys.path.insert(0, ".")
+    from tests.oracle import oracle_ld
+
+    rng = np.random.default_rng(7)
+    g1 = list(map(int, (rng.random(n_hap) < 0.4).astype(int)))
+    g2 = list(map(int, (rng.random(n_hap) < 0.6).astype(int)))
+    n_pairs = 30
+    t0 = time.perf_counter()
+    for _ in range(n_pairs):
+        oracle_ld(g1, g2)
+    dt = time.perf_counter() - t0
+    return n_pairs / dt
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    _log(f"backend: {backend} devices: {jax.devices()}")
+
+    n_hap = 5008
+    v = 10240 if on_tpu else 1024
+    rng = np.random.default_rng(0)
+    freqs = rng.uniform(0.05, 0.95, size=(v, 1))
+    G = (rng.random((v, n_hap)) < freqs).astype(np.int8)
+    pairs = v * (v + 1) / 2
+
+    if on_tpu:
+        import functools
+
+        import jax.numpy as jnp
+
+        from ld_tools_tpu.ops.ld_pallas import (
+            _ld_triangle_call,
+            _triangle_coords,
+        )
+        from ld_tools_tpu.utils.profiling import Roofline, device_seconds
+
+        block = 256
+        h_pad_b = -(-n_hap // 128) * 128
+        v_pad = -(-v // block) * block
+        Gp = np.zeros((v_pad, h_pad_b), dtype=np.int8)
+        Gp[:v, :n_hap] = G
+        g_pad = jnp.asarray(Gp)
+        c1 = jnp.sum(g_pad.astype(jnp.float32), axis=1, keepdims=True)
+        bi, bj = _triangle_coords(v_pad // block)
+        bi, bj = jnp.asarray(bi), jnp.asarray(bj)
+        n_arr = jnp.asarray([n_hap], dtype=np.int32)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def tri_loop(g, c1, reps):
+            # data-dependent chaining defeats upstream memoization; the
+            # XOR with an always-0 mask is a no-op on the values
+            def body(i, acc):
+                gg = jnp.bitwise_xor(g, (acc > 1e30).astype(jnp.int8))
+                r2, dp = _ld_triangle_call(
+                    gg, c1, bi, bj, n_arr,
+                    block_m=block, block_n=block, interpret=False,
+                )
+                return acc + r2[0, 0]
+            return jax.lax.fori_loop(0, reps, body, 0.0)
+
+        t0 = time.perf_counter()
+        tri_loop(g_pad, c1, 1).block_until_ready()
+        _log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
+
+        def run_reps(n):
+            tri_loop(g_pad, c1, n).block_until_ready()
+
+        dt = device_seconds(run_reps, reps=6)
+        n_blocks = len(bi)
+        roof = Roofline(
+            n_pairs=pairs,
+            n_haplotypes_padded=h_pad_b,
+            bytes_moved=n_blocks * 2 * block * h_pad_b
+            + 2 * v_pad * v_pad * 4,
+        )
+        _log(f"roofline: {roof.achieved(dt)}")
+    else:
+        import jax.numpy as jnp
+
+        from ld_tools_tpu.ops.ld_math import ld_block
+
+        fn = jax.jit(lambda g: ld_block(g, g)["r_square"])
+        Gj = jnp.asarray(G)
+        fn(Gj).block_until_ready()
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(Gj)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+
+    pairs_per_sec = pairs / dt
+    h_pad = -(-n_hap // 128) * 128
+    tflops = 2 * pairs * h_pad / dt / 1e12
+    _log(
+        f"{v} variants x {n_hap} haplotypes: {dt * 1e3:.1f} ms/sweep, "
+        f"{pairs_per_sec / 1e9:.2f} Gpairs/s, ~{tflops:.1f} TFLOP/s effective"
+    )
+
+    baseline = measure_baseline_pairs_per_sec(n_hap)
+    _log(f"reference python kernel: {baseline:.0f} pairs/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "ld_triangle_allpairs_r2_variant_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""ctypes bindings for native/vcfpack.cpp, built on demand with g++.
+
+pybind11 is not available in this environment, so the native scanner
+exposes a flat C API and this module marshals it into numpy arrays.  If
+the toolchain or zlib is missing, NativeUnavailable tells the caller to
+fall back to the pure-Python parser (ingest/vcf.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "native", "vcfpack.cpp")
+_LIB = os.path.join(_REPO_ROOT, "native", "libvcfpack.so")
+
+_lock = threading.Lock()
+_lib_handle = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+class NativeScanError(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB, "-lz",
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, text=True, timeout=300
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as exc:
+        detail = getattr(exc, "stderr", "") or str(exc)
+        raise NativeUnavailable(f"vcfpack build failed: {detail}") from exc
+
+
+def _load():
+    global _lib_handle
+    with _lock:
+        if _lib_handle is not None:
+            return _lib_handle
+        if not os.path.exists(_SRC):
+            raise NativeUnavailable("native/vcfpack.cpp missing")
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError as exc:
+            raise NativeUnavailable(str(exc)) from exc
+        lib.vp_scan.restype = ctypes.c_void_p
+        lib.vp_scan.argtypes = [ctypes.c_char_p]
+        for name in ("vp_n_variants", "vp_n_haplotypes", "vp_row_bytes"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.vp_genotypes_packed.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.vp_genotypes_packed.argtypes = [ctypes.c_void_p]
+        lib.vp_positions.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.vp_positions.argtypes = [ctypes.c_void_p]
+        for name in ("vp_rsids", "vp_refs", "vp_alts", "vp_vts",
+                     "vp_samples", "vp_error"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_char_p
+            fn.argtypes = [ctypes.c_void_p]
+        lib.vp_free.restype = None
+        lib.vp_free.argtypes = [ctypes.c_void_p]
+        _lib_handle = lib
+        return lib
+
+
+def _split(raw: bytes) -> list:
+    text = raw.decode("utf-8")
+    return text.split("\n")[:-1] if text else []
+
+
+def scan(path: str):
+    """Native scan -> (genotypes int8 (V, H), pos, rsid, ref, alt, vt,
+    samples), matching ingest/vcf.py's record semantics."""
+    lib = _load()
+    handle = lib.vp_scan(os.fspath(path).encode())
+    if not handle:
+        raise NativeScanError("vp_scan returned null")
+    try:
+        err = lib.vp_error(handle)
+        if err:
+            raise NativeScanError(err.decode())
+        v = lib.vp_n_variants(handle)
+        h = lib.vp_n_haplotypes(handle)
+        row_bytes = lib.vp_row_bytes(handle)
+        if v > 0:
+            packed = np.ctypeslib.as_array(
+                lib.vp_genotypes_packed(handle), shape=(v, row_bytes)
+            ).copy()
+            genotypes = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
+            pos = np.ctypeslib.as_array(
+                lib.vp_positions(handle), shape=(v,)
+            ).copy()
+        else:
+            genotypes = np.zeros((0, h), dtype=np.int8)
+            pos = np.zeros((0,), dtype=np.int64)
+        rsid = _split(lib.vp_rsids(handle))
+        ref = _split(lib.vp_refs(handle))
+        alt = _split(lib.vp_alts(handle))
+        vt = _split(lib.vp_vts(handle))
+        samples = _split(lib.vp_samples(handle))
+        return genotypes, pos, rsid, ref, alt, vt, samples
+    finally:
+        lib.vp_free(handle)

@@ -1,0 +1,271 @@
+"""Fused Pallas TPU kernel for blocked all-pairs LD.
+
+The all-pairs workload is a lower-triangle sweep of haplotype count
+matmuls with an elementwise D'/r^2 epilogue (SURVEY.md §7.1).  Plain XLA
+(ops/ld_math.py) fuses the epilogue but must compute the full square
+matrix; this kernel enumerates ONLY the lower-triangle blocks
+(nb*(nb+1)/2 instead of nb^2 — ~2x less work) via a 1-D grid whose block
+coordinates are scalar-prefetched, and fuses everything into one pass:
+
+  HBM int8 G-blocks --DMA--> VMEM --bf16--> MXU counts --VPU epilogue-->
+  r^2 / D' output tiles.
+
+Counts are exact (0/1 values, f32 accumulation, H < 2^24), so the result
+matches ops/ld_math.ld_from_counts elementwise; file outputs still go
+through the bit-exact host finisher (ops/exact.py), while benchmarks and
+the array API consume this fused path.
+
+Reference for the math being fused: backend/calc_ld.py:30-90.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _ld_epilogue(c_ab, c1_col, c2_row, inv_n, n):
+    """Branchless D'/r^2 from counts (mirrors ld_math.ld_from_counts)."""
+    p_ab = c_ab * inv_n
+    p1 = c1_col * inv_n
+    q1 = (n - c1_col) * inv_n
+    p2 = c2_row * inv_n
+    q2 = (n - c2_row) * inv_n
+    d = p_ab - p1 * p2
+    den_pos = jnp.minimum(p1 * q2, q1 * p2)
+    den_neg = jnp.maximum(-(p1 * p2), -(q1 * q2))
+    den = jnp.where(d >= 0, den_pos, den_neg)
+    den_zero = den == 0.0
+    d_prime = jnp.where(den_zero, 0.0, d / jnp.where(den_zero, 1.0, den))
+    r2_den = p1 * q1 * p2 * q2
+    dp_zero = d_prime == 0.0
+    r_square = jnp.where(dp_zero, 0.0, (d * d) / jnp.where(dp_zero, 1.0, r2_den))
+    return r_square, d_prime
+
+
+def _tri_kernel(
+    bi_ref,  # scalar-prefetch: block-row index per grid step
+    bj_ref,  # scalar-prefetch: block-col index per grid step
+    n_ref,   # scalar-prefetch: [n_haplotypes]
+    a_ref,   # (BM, H) int8 rows block
+    b_ref,   # (BN, H) int8 cols block
+    c1_ref,  # (BM, 1) f32 alt counts of rows
+    c2_ref,  # (BN, 1) f32 alt counts of cols
+    r2_ref,  # out (BM, BN) f32
+    dp_ref,  # out (BM, BN) f32
+):
+    a = a_ref[:].astype(jnp.bfloat16)
+    b = b_ref[:].astype(jnp.bfloat16)
+    c_ab = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = n_ref[0].astype(jnp.float32)
+    inv_n = 1.0 / n
+    c1 = c1_ref[:]          # (BM, 1) broadcasts down columns
+    c2 = c2_ref[:].T        # (1, BN) broadcasts across rows
+    r2, dp = _ld_epilogue(c_ab, c1, c2, inv_n, n)
+    r2_ref[:] = r2
+    dp_ref[:] = dp
+
+
+def _triangle_coords(nb: int):
+    """Lower-triangle block coords in row-major order (a-block reused
+    across consecutive steps, so its DMA is skipped by the pipeline)."""
+    bi = []
+    bj = []
+    for i in range(nb):
+        for j in range(i + 1):
+            bi.append(i)
+            bj.append(j)
+    return np.asarray(bi, dtype=np.int32), np.asarray(bj, dtype=np.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+)
+def _ld_triangle_call(
+    g_pad, c1_pad, bi, bj, n_arr, *, block_m, block_n, interpret
+):
+    v_pad, h_pad = g_pad.shape
+    n_blocks = bi.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (block_m, h_pad),
+                lambda k, bi, bj, n: (bi[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, h_pad),
+                lambda k, bi, bj, n: (bj[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_m, 1),
+                lambda k, bi, bj, n: (bi[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, 1),
+                lambda k, bi, bj, n: (bj[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_m, block_n),
+                lambda k, bi, bj, n: (bi[k], bj[k]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_m, block_n),
+                lambda k, bi, bj, n: (bi[k], bj[k]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    flops = 2 * n_blocks * block_m * block_n * h_pad
+    bytes_accessed = n_blocks * (
+        (block_m + block_n) * h_pad + 2 * block_m * block_n * 4
+    )
+    return pl.pallas_call(
+        _tri_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
+            jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bi, bj, n_arr, g_pad, g_pad, c1_pad, c1_pad)
+
+
+def ld_triangle_matrix(
+    G,
+    n_haplotypes=None,
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """All-pairs r^2/D' for G (V, H) {0,1}: lower-triangle blocks only.
+
+    Returns (r2, d_prime) as (V, V) f32 device arrays with the upper
+    triangle of any block-diagonal remainder undefined above the diagonal
+    (callers take tril).  V and H are padded internally; padding rows are
+    monomorphic so their cells finish as 0 via the sentinel branch.
+    """
+    G = jnp.asarray(G)
+    v, h = G.shape
+    if n_haplotypes is None:
+        n_haplotypes = h
+    block_m = min(block_m, _round_up(v, 128))
+    block_n = min(block_n, _round_up(v, 128))
+    v_pad = _round_up(v, max(block_m, block_n))
+    h_pad = _round_up(h, 128)
+    g_pad = jnp.zeros((v_pad, h_pad), dtype=jnp.int8)
+    g_pad = jax.lax.dynamic_update_slice(g_pad, G.astype(jnp.int8), (0, 0))
+    c1 = jnp.sum(g_pad.astype(jnp.float32), axis=1, keepdims=True)
+    nb = v_pad // block_m
+    bi, bj = _triangle_coords(nb)
+    n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
+    r2, dp = _ld_triangle_call(
+        g_pad,
+        c1,
+        jnp.asarray(bi),
+        jnp.asarray(bj),
+        n_arr,
+        block_m=block_m,
+        block_n=block_n,
+        interpret=interpret,
+    )
+    return r2[:v, :v], dp[:v, :v]
+
+
+def ld_band_pallas(
+    G_rows,
+    G_all,
+    c1_rows,
+    c1_all,
+    n_haplotypes,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Dense band sweep: rows-block x all columns, fused epilogue.
+
+    Used by the streamed chromosome-scale sweep and the sharded
+    multi-device path (each device owns a band of variant rows).  Shapes
+    must be pre-padded to block multiples.
+    """
+    vr, h = G_rows.shape
+    va, _ = G_all.shape
+    grid = (vr // block_m, va // block_n)
+    return pl.pallas_call(
+        _band_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, h), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, h), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((vr, va), jnp.float32),
+            jax.ShapeDtypeStruct((vr, va), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vr * va * h,
+            bytes_accessed=(vr + va) * h + 2 * vr * va * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(G_rows, G_all, c1_rows, c1_all,
+      jnp.asarray([[n_haplotypes]], dtype=jnp.int32))
+
+
+def _band_kernel(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref, dp_ref):
+    a = a_ref[:].astype(jnp.bfloat16)
+    b = b_ref[:].astype(jnp.bfloat16)
+    c_ab = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    n = n_ref[0, 0].astype(jnp.float32)
+    inv_n = 1.0 / n
+    r2, dp = _ld_epilogue(c_ab, c1_ref[:], c2_ref[:].T, inv_n, n)
+    r2_ref[:] = r2
+    dp_ref[:] = dp

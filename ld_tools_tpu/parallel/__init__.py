@@ -1,0 +1,7 @@
+from ld_tools_tpu.parallel.sweep import (
+    make_mesh,
+    all_pairs_replicated,
+    all_pairs_ring,
+)
+
+__all__ = ["make_mesh", "all_pairs_replicated", "all_pairs_ring"]

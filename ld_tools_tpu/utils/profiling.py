@@ -1,0 +1,91 @@
+"""Profiling + roofline reporting.
+
+The reference's only instrumentation is a wall-clock print around its
+process pool (ld_area.py:337-342).  BASELINE.md asks for measured
+%-of-roofline on the haplotype-count matmul, so this module provides:
+
+- ``trace(path)``: context manager around ``jax.profiler`` traces;
+- ``Roofline``: analytic model of the sweep (FLOPs, bytes) against peak
+  chip numbers, reporting achieved fraction of the compute roofline;
+- ``device_seconds``: loop-timing helper that amortizes dispatch/RPC
+  overhead by differencing 1-rep and N-rep jitted loops (single wall
+  timings through an RPC relay are unreliable — repeated identical
+  executions can be memoized upstream).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+
+import jax
+
+
+# Peak numbers per chip generation (dense bf16 matmul TFLOP/s, HBM GB/s).
+CHIP_PEAKS = {
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v4": (275.0, 1228.0),
+    "v6e": (918.0, 1640.0),
+}
+DEFAULT_CHIP = "v5e"
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass
+class Roofline:
+    """Analytic roofline for an all-pairs LD sweep."""
+
+    n_pairs: float
+    n_haplotypes_padded: int
+    bytes_moved: float
+    chip: str = DEFAULT_CHIP
+
+    @property
+    def flops(self) -> float:
+        return 2.0 * self.n_pairs * self.n_haplotypes_padded
+
+    def achieved(self, seconds: float) -> dict:
+        peak_tflops, peak_gbps = CHIP_PEAKS.get(
+            self.chip, CHIP_PEAKS[DEFAULT_CHIP]
+        )
+        tflops = self.flops / seconds / 1e12
+        gbps = self.bytes_moved / seconds / 1e9
+        compute_bound_s = self.flops / (peak_tflops * 1e12)
+        memory_bound_s = self.bytes_moved / (peak_gbps * 1e9)
+        bound = "compute" if compute_bound_s >= memory_bound_s else "memory"
+        light = max(compute_bound_s, memory_bound_s)
+        return {
+            "tflops": tflops,
+            "gbps": gbps,
+            "fraction_of_compute_peak": tflops / peak_tflops,
+            "fraction_of_roofline": light / seconds,
+            "bound": bound,
+            "speed_of_light_s": light,
+        }
+
+
+def device_seconds(run_reps, reps: int = 6) -> float:
+    """Per-iteration device time via loop differencing.
+
+    ``run_reps(n)`` must execute the measured computation n times inside
+    one jitted program (data-dependent chaining, so iterations cannot be
+    CSE'd or memoized) and block until ready.
+    """
+    run_reps(1)  # warm both compiled variants
+    run_reps(reps)
+    t0 = time.perf_counter()
+    run_reps(1)
+    t1 = time.perf_counter()
+    run_reps(reps)
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / (reps - 1)
