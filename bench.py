@@ -82,9 +82,12 @@ def main():
             # XOR with an always-0 mask is a no-op on the values
             def body(i, acc):
                 gg = jnp.bitwise_xor(g, (acc > 1e30).astype(jnp.int8))
-                r2, dp = _ld_triangle_call(
+                # the headline metric is all-pairs r^2, so D' output
+                # (and its HBM writes) is elided
+                r2, _ = _ld_triangle_call(
                     gg, c1, bi, bj, n_arr,
                     block_m=block, block_n=block, interpret=False,
+                    want_dprime=False,
                 )
                 return acc + r2[0, 0]
             return jax.lax.fori_loop(0, reps, body, 0.0)
@@ -102,7 +105,7 @@ def main():
             n_pairs=pairs,
             n_haplotypes_padded=h_pad_b,
             bytes_moved=n_blocks * 2 * block * h_pad_b
-            + 2 * v_pad * v_pad * 4,
+            + v_pad * v_pad * 4,
         )
         _log(f"roofline: {roof.achieved(dt)}")
     else:

@@ -9,7 +9,7 @@ in linkage disequilibrium above the threshold value.
 
 Version: {ver}
 TPU-native rework of ld-tools' ld_area.
-License: Apache-2.0
+License: MIT
 
 Supported source files are tables containing a column with rsIDs.
 If there is more than 1 rsID column, the program uses the left one.

@@ -9,7 +9,7 @@ plus the essential characteristics of each variant.
 
 Version: {ver}
 TPU-native rework of ld-tools' ld_lite.
-License: Apache-2.0
+License: MIT
 
 tpu-ld uses 1000 Genomes project data for LD calculation.
 Downloading and packing is done only once (see the prep stage).

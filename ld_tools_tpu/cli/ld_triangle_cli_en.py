@@ -10,7 +10,7 @@ heatmaps and/or tables.
 
 Version: {ver}
 TPU-native rework of ld-tools' ld_triangle.
-License: Apache-2.0
+License: MIT
 
 Supported source files are tables containing a column with rsIDs.
 If there is more than 1 rsID column, the program uses the left one.

@@ -119,6 +119,68 @@ def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
     )
 
 
+def exact_ld_elementwise(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
+    """Elementwise (paired) variant of exact_ld_from_counts.
+
+    ``c_ab``, ``c1``, ``c2`` are 1-D arrays of per-PAIR counts (pair k is
+    variant-with-count c1[k] vs variant-with-count c2[k]) — used by the
+    streamed scan to re-finish threshold hits exactly.  Same f64 op order
+    as the outer-product form.
+    """
+    n = float(n_haplotypes)
+    c_ab = np.asarray(c_ab, dtype=np.float64)
+    c1 = np.asarray(c1, dtype=np.float64)
+    c2 = np.asarray(c2, dtype=np.float64)
+
+    p_ab = c_ab / n
+    p1 = c1 / n
+    q1 = (n - c1) / n
+    p2 = c2 / n
+    q2 = (n - c2) / n
+
+    d = p_ab - p1 * p2
+    den_pos = np.minimum(p1 * q2, q1 * p2)
+    den_neg = np.maximum((-p1) * p2, (-q1) * q2)
+    den = np.where(d >= 0, den_pos, den_neg)
+    den_zero = den == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d_prime = np.where(den_zero, 0.0, d / np.where(den_zero, 1.0, den))
+    dp_zero = d_prime == 0
+    r2_den = ((p1 * q1) * p2) * q2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r_square = np.where(
+            dp_zero, 0.0, (d * d) / np.where(dp_zero, 1.0, r2_den)
+        )
+    return ExactLD(
+        r_square=r_square,
+        d_prime=d_prime,
+        p1=p1,
+        p2=p2,
+        d_prime_is_int_zero=den_zero,
+        r_square_is_int_zero=dp_zero,
+    )
+
+
+def format_rounded(values, int_zero=None):
+    """Vectorized reference-faithful string formatting of LD values.
+
+    After round(v, 4), every value in [0, 1] is a multiple of 1e-4 and its
+    Python str() is the minimal decimal (e.g. '0.8237', '0.5', '1.0');
+    int-0 sentinel entries print as '0'.  Returns a list of str.
+    """
+    values = np.asarray(values, dtype=np.float64)
+    m = np.rint(values * 1e4).astype(np.int64)
+    out = []
+    for k, mk in enumerate(m):
+        if int_zero is not None and int_zero.flat[k]:
+            out.append("0")
+            continue
+        whole, frac = divmod(int(mk), 10000)
+        s = f"{whole}.{frac:04d}".rstrip("0")
+        out.append(s + "0" if s.endswith(".") else s)
+    return out
+
+
 def round4(x: np.ndarray) -> np.ndarray:
     """Vectorized bit-exact equivalent of applying Python round(v, 4).
 

@@ -61,7 +61,7 @@ def _tri_kernel(
     c1_ref,  # (BM, 1) f32 alt counts of rows
     c2_ref,  # (BN, 1) f32 alt counts of cols
     r2_ref,  # out (BM, BN) f32
-    dp_ref,  # out (BM, BN) f32
+    dp_ref=None,  # optional out (BM, BN) f32
 ):
     a = a_ref[:].astype(jnp.bfloat16)
     b = b_ref[:].astype(jnp.bfloat16)
@@ -77,7 +77,8 @@ def _tri_kernel(
     c2 = c2_ref[:].T        # (1, BN) broadcasts across rows
     r2, dp = _ld_epilogue(c_ab, c1, c2, inv_n, n)
     r2_ref[:] = r2
-    dp_ref[:] = dp
+    if dp_ref is not None:
+        dp_ref[:] = dp
 
 
 def _triangle_coords(nb: int):
@@ -93,10 +94,12 @@ def _triangle_coords(nb: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("block_m", "block_n", "interpret", "want_dprime"),
 )
 def _ld_triangle_call(
-    g_pad, c1_pad, bi, bj, n_arr, *, block_m, block_n, interpret
+    g_pad, c1_pad, bi, bj, n_arr, *, block_m, block_n, interpret,
+    want_dprime=True,
 ):
     v_pad, h_pad = g_pad.shape
     n_blocks = bi.shape[0]
@@ -131,24 +134,21 @@ def _ld_triangle_call(
                 lambda k, bi, bj, n: (bi[k], bj[k]),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (block_m, block_n),
-                lambda k, bi, bj, n: (bi[k], bj[k]),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ]
+        * (2 if want_dprime else 1),
     )
+    n_out = 2 if want_dprime else 1
     flops = 2 * n_blocks * block_m * block_n * h_pad
     bytes_accessed = n_blocks * (
-        (block_m + block_n) * h_pad + 2 * block_m * block_n * 4
+        (block_m + block_n) * h_pad + n_out * block_m * block_n * 4
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _tri_kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
-            jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
-        ],
+        ]
+        * n_out,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
@@ -157,15 +157,17 @@ def _ld_triangle_call(
         ),
         interpret=interpret,
     )(bi, bj, n_arr, g_pad, g_pad, c1_pad, c1_pad)
+    return out if want_dprime else (out[0], None)
 
 
 def ld_triangle_matrix(
     G,
     n_haplotypes=None,
     *,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 256,
+    block_n: int = 256,
     interpret: bool = False,
+    want_dprime: bool = True,
 ):
     """All-pairs r^2/D' for G (V, H) {0,1}: lower-triangle blocks only.
 
@@ -197,8 +199,9 @@ def ld_triangle_matrix(
         block_m=block_m,
         block_n=block_n,
         interpret=interpret,
+        want_dprime=want_dprime,
     )
-    return r2[:v, :v], dp[:v, :v]
+    return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
 
 
 def ld_band_pallas(

@@ -1,0 +1,123 @@
+"""ld_scan: whole-chromosome all-pairs LD threshold scan.
+
+A capability the reference cannot reach (its practical matrix cap is
+~500x500, reference README.md:74): stream ALL lower-triangle pairs of a
+chromosome (100k+ variants, billions of pairs) through the fused device
+kernel, keep only pairs with LD >= threshold (optionally within a
+distance window), and write them as a pair-list TSV.  Math and threshold
+semantics match backend/calc_ld.py + ld_area.py:248 via the exact
+refilter in ops/ld_stream.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from ld_tools_tpu.io.writers import makedirs, ucsc_header_line
+from ld_tools_tpu.ops.exact import format_rounded
+from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
+from ld_tools_tpu.tools.common import DataConfig
+from ld_tools_tpu.utils.logging import get_logger
+
+log = get_logger("tools.scan")
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    chroms: tuple  # () = all packed chromosomes
+    trg_dir_path: str
+    ld_measure: str
+    ld_low_thres: float
+    max_dist: object  # int or None
+    use_pallas: bool = True
+
+    @staticmethod
+    def from_args(args):
+        import jax
+
+        chroms = tuple(
+            c for c in args.chroms.split(",") if c and c.lower() != "all"
+        )
+        return ScanConfig(
+            chroms=chroms,
+            trg_dir_path=os.path.normpath(args.trg_dir_path),
+            ld_measure=args.ld_measure,
+            ld_low_thres=args.ld_low_thres,
+            max_dist=args.max_dist,
+            # the Pallas kernel is TPU-only; CPU runs use the XLA path
+            use_pallas=jax.default_backend() not in ("cpu",),
+        )
+
+
+def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
+    """Scan one chromosome; returns the output file path."""
+    cd = data.store().chrom(chrom)
+    cols = cd.haplotype_columns(data.sample_names)
+    G = cd.genotypes[:, cols]
+    log.info(
+        "scanning chr%s: %d variants x %d haplotypes, %s >= %s%s",
+        chrom, G.shape[0], G.shape[1], config.ld_measure,
+        config.ld_low_thres,
+        f", dist <= {config.max_dist}" if config.max_dist else "",
+    )
+    hits = stream_threshold_scan(
+        G,
+        pos=cd.pos,
+        measure=config.ld_measure,
+        thres=config.ld_low_thres,
+        max_dist=config.max_dist,
+        use_pallas=config.use_pallas,
+        exact=True,
+    )
+    makedirs(config.trg_dir_path)
+    name = (
+        f"ld_scan_chr{chrom}_{config.ld_measure[0]}_"
+        f"{config.ld_low_thres}.tsv"
+    )
+    path = os.path.join(config.trg_dir_path, name)
+    meta_keys = ["chr", "gends", "pops", f"{config.ld_measure}_thres",
+                 "max_dist"]
+    meta_vals = [chrom, data.gend_names, data.pop_names,
+                 config.ld_low_thres, config.max_dist]
+    rsid = cd.rsid
+    pos = cd.pos
+    r2_s = format_rounded(hits.r_square, hits.r_square_is_int_zero)
+    dp_s = format_rounded(hits.d_prime, hits.d_prime_is_int_zero)
+    with open(path, "w") as fh:
+        fh.write(ucsc_header_line(meta_keys, meta_vals) + "\n")
+        fh.write("#hg38_pos_1\trsID_1\thg38_pos_2\trsID_2\tdist\tr2\tD'\n")
+        for k in range(len(hits.i)):
+            a, b = int(hits.i[k]), int(hits.j[k])
+            fh.write(
+                f"{int(pos[a])}\t{rsid[a]}\t{int(pos[b])}\t{rsid[b]}\t"
+                f"{int(pos[a]) - int(pos[b])}\t{r2_s[k]}\t{dp_s[k]}\n"
+            )
+    log.info("chr%s: %d pairs above threshold -> %s",
+             chrom, len(hits.i), path)
+    return path
+
+
+def run(args) -> int:
+    import datetime
+
+    data = DataConfig.resolve(
+        args.intgen_dir_path,
+        args.skip_intgen_data_ver,
+        args.gend_names,
+        args.pop_names,
+    )
+    config = ScanConfig.from_args(args)
+    chroms = list(config.chroms) or data.store().chroms()
+
+    from ld_tools_tpu.parallel.batch import chromosomes_for_this_process
+
+    chroms = chromosomes_for_this_process(chroms)
+    print("\nWhole-chromosome LD scan")
+    t0 = datetime.datetime.now()
+    n = 0
+    for chrom in chroms:
+        scan_chromosome(data, config, chrom)
+        n += 1
+    print(f"\tcomputation time: {datetime.datetime.now() - t0}")
+    return n

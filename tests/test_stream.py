@@ -1,0 +1,83 @@
+"""Streamed threshold scan vs brute-force oracle filtering."""
+
+import numpy as np
+import pytest
+
+from ld_tools_tpu.ops.exact import format_rounded
+from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
+
+from .conftest import random_haplotypes
+from .oracle import oracle_ld
+
+
+def _expected_hits(G, pos, measure, thres, max_dist=None):
+    out = set()
+    vals = {}
+    v = G.shape[0]
+    for i in range(v):
+        for j in range(i):
+            if max_dist is not None and abs(int(pos[i]) - int(pos[j])) > max_dist:
+                continue
+            res = oracle_ld(list(G[i]), list(G[j]))
+            if res[measure] >= thres:
+                out.add((i, j))
+                vals[(i, j)] = res
+    return out, vals
+
+
+@pytest.mark.parametrize("measure", ["r_square", "d_prime"])
+def test_scan_matches_bruteforce(rng, measure):
+    G = random_haplotypes(rng, 60, 90, maf_low=0.05, maf_high=0.95)
+    pos = np.sort(rng.choice(10**6, size=60, replace=False)).astype(np.int64)
+    thres = 0.6
+    hits = stream_threshold_scan(
+        G, pos=pos, measure=measure, thres=thres,
+        band=16, chunk=24, use_pallas=False, exact=True,
+    )
+    got = set(zip(hits.i.tolist(), hits.j.tolist()))
+    expected, vals = _expected_hits(G, pos, measure, thres)
+    assert got == expected
+    # exact values must reproduce the oracle after rounding
+    r2_s = format_rounded(hits.r_square, hits.r_square_is_int_zero)
+    dp_s = format_rounded(hits.d_prime, hits.d_prime_is_int_zero)
+    for k in range(len(hits.i)):
+        res = vals[(int(hits.i[k]), int(hits.j[k]))]
+        assert r2_s[k] == str(res["r_square"])
+        assert dp_s[k] == str(res["d_prime"])
+
+
+def test_scan_with_distance_window(rng):
+    G = random_haplotypes(rng, 40, 64, maf_low=0.1, maf_high=0.9)
+    pos = (np.arange(40, dtype=np.int64) + 1) * 500
+    max_dist = 3000
+    hits = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=0.3, max_dist=max_dist,
+        band=16, chunk=16, use_pallas=False, exact=True,
+    )
+    expected, _ = _expected_hits(G, pos, "r_square", 0.3, max_dist)
+    assert set(zip(hits.i.tolist(), hits.j.tolist())) == expected
+    assert np.all(np.abs(pos[hits.i] - pos[hits.j]) <= max_dist)
+
+
+def test_scan_empty_result(rng):
+    G = random_haplotypes(rng, 20, 64, maf_low=0.3, maf_high=0.7)
+    hits = stream_threshold_scan(
+        G, measure="r_square", thres=1.1, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    assert len(hits.i) == 0
+
+
+def test_format_rounded():
+    vals = np.array([0.8237, 0.5, 1.0, 0.0, 0.0001, 0.9999])
+    int_zero = np.array([False, False, False, False, False, False])
+    assert format_rounded(vals, int_zero) == [
+        "0.8237", "0.5", "1.0", "0.0", "0.0001", "0.9999",
+    ]
+    int_zero = np.array([True, False, False, True, False, False])
+    got = format_rounded(vals, int_zero)
+    assert got[0] == "0" and got[3] == "0"
+    # parity with str(round(x, 4)) on random values
+    rng = np.random.default_rng(4)
+    xs = np.round(rng.random(500), 4)
+    assert format_rounded(xs) == [str(round(float(x), 4)) for x in xs]
