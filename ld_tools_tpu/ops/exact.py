@@ -52,13 +52,27 @@ class ExactLD:
     p2: np.ndarray
     d_prime_is_int_zero: np.ndarray
     r_square_is_int_zero: np.ndarray
+    _r2_rounded_cache: object = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+    _dp_rounded_cache: object = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
 
     def r_square_rounded(self):
         """round(r^2, 4) with the reference's int-0 sentinel preserved."""
-        return _rounded_object_array(self.r_square, self.r_square_is_int_zero)
+        if self._r2_rounded_cache is None:
+            self._r2_rounded_cache = _rounded_object_array(
+                self.r_square, self.r_square_is_int_zero
+            )
+        return self._r2_rounded_cache
 
     def d_prime_rounded(self):
-        return _rounded_object_array(self.d_prime, self.d_prime_is_int_zero)
+        if self._dp_rounded_cache is None:
+            self._dp_rounded_cache = _rounded_object_array(
+                self.d_prime, self.d_prime_is_int_zero
+            )
+        return self._dp_rounded_cache
 
     def pair(self, i: int, j: int) -> dict:
         """The reference calc_ld return dict for pair (i, j).

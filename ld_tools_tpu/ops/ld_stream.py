@@ -2,12 +2,14 @@
 
 A 100k-variant chromosome (chr21 scale) has ~5e9 lower-triangle pairs:
 the full f32 result matrices (40 GB) cannot be materialized, and shipping
-them to the host would drown the interconnect.  This module streams the
-sweep in fixed-shape (row-band x column-chunk) tiles — constant shapes
-mean ONE compiled executable for the whole scan — applies the LD
-threshold (and an optional max-distance window) on device, and compacts
-surviving pairs to fixed-size index buffers (jnp.nonzero with a static
-size cap), so only hits ever leave the device.
+them to the host would drown the interconnect.  This module uploads the
+packed int8 haplotype matrix to HBM ONCE (chr-scale: 100k x 5120 =
+0.5 GB), then sweeps fixed-shape (row-band x column-chunk) tiles sliced
+out on device — constant shapes mean ONE compiled executable and zero
+per-tile host->device traffic — applies the LD threshold (and an
+optional max-distance window) on device, and compacts surviving pairs to
+fixed-size index buffers (jnp.nonzero with a static size cap), so only
+hits ever leave the device.
 
 This is a capability beyond the reference (its README caps practical
 matrices at ~500x500 — reference README.md:74); the per-pair math is
@@ -54,19 +56,20 @@ class ScanHits:
     exact: bool = False
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "band", "chunk", "cap", "use_pallas", "interpret", "sel",
-        "use_dist",
-    ),
-)
-def _scan_tile(
-    g_rows, g_cols, c1_rows, c1_cols, pos_rows, pos_cols,
-    row0, col0, n_hap, thres_dev, max_dist,
-    *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
+def _tile_ld(
+    g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
+    *, band, chunk, use_pallas, interpret, sel, use_dist,
 ):
-    """One fused tile: LD + threshold + compaction, all on device."""
+    """LD + keep-mask for one tile sliced from HBM-resident G."""
+    g_rows = jax.lax.dynamic_slice(
+        g_dev, (row0, 0), (band, g_dev.shape[1])
+    )
+    g_cols = jax.lax.dynamic_slice(
+        g_dev, (col0, 0), (chunk, g_dev.shape[1])
+    )
+    c1_rows = jax.lax.dynamic_slice(c1_dev, (row0, 0), (band, 1))
+    c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
+
     if use_pallas:
         r2, dp = ld_band_pallas(
             g_rows, g_cols, c1_rows, c1_cols, n_hap,
@@ -91,13 +94,72 @@ def _scan_tile(
     meas = r2 if sel == 0 else dp
     keep &= meas >= thres_dev
     if use_dist:
+        pos_rows = jax.lax.dynamic_slice(pos_dev, (row0,), (band,))
+        pos_cols = jax.lax.dynamic_slice(pos_dev, (col0,), (chunk,))
         dist = jnp.abs(pos_rows[:, None] - pos_cols[None, :])
         keep &= dist <= max_dist
-    count = jnp.sum(keep.astype(jnp.int32))
-    ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
-    safe_i = jnp.maximum(ii, 0)
-    safe_j = jnp.maximum(jj, 0)
-    return count, ii, jj, r2[safe_i, safe_j], dp[safe_i, safe_j]
+    return r2, dp, keep, rows_g, cols_g
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "band", "chunk", "cap_total", "cap_tile", "use_pallas",
+        "interpret", "sel", "use_dist",
+    ),
+)
+def _scan_tiles_batch(
+    g_dev, c1_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev, max_dist,
+    *, band, chunk, cap_total, cap_tile, use_pallas, interpret, sel,
+    use_dist,
+):
+    """ALL tiles in one device program: lax.scan over tile coordinates,
+    hits compacted into one shared buffer.
+
+    One host<->device round trip for the whole chromosome scan — through
+    an RPC-relayed device, per-call dispatch (~0.5 s) would otherwise
+    dwarf the ~20 ms of compute per tile.  A per-tile count exceeding
+    cap_tile is reported back so the host can raise instead of silently
+    truncating.
+    """
+
+    def step(carry, tile):
+        offset, buf_i, buf_j, buf_r2, buf_dp = carry
+        row0, col0, is_valid = tile
+        r2, dp, keep, rows_g, cols_g = _tile_ld(
+            g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
+            max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
+            interpret=interpret, sel=sel, use_dist=use_dist,
+        )
+        keep &= is_valid
+        count = jnp.sum(keep.astype(jnp.int32))
+        ii, jj = jnp.nonzero(keep, size=cap_tile, fill_value=-1)
+        k = jax.lax.broadcasted_iota(jnp.int32, (cap_tile, 1), 0)[:, 0]
+        # invalid slots target index cap_total and are dropped
+        target = jnp.where(k < count, offset + k, cap_total)
+        safe_i = jnp.maximum(ii, 0)
+        safe_j = jnp.maximum(jj, 0)
+        buf_i = buf_i.at[target].set(
+            (rows_g[safe_i, 0]).astype(jnp.int32), mode="drop"
+        )
+        buf_j = buf_j.at[target].set(
+            (cols_g[0, safe_j]).astype(jnp.int32), mode="drop"
+        )
+        buf_r2 = buf_r2.at[target].set(r2[safe_i, safe_j], mode="drop")
+        buf_dp = buf_dp.at[target].set(dp[safe_i, safe_j], mode="drop")
+        return (offset + count, buf_i, buf_j, buf_r2, buf_dp), count
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((cap_total,), dtype=jnp.int32),
+        jnp.zeros((cap_total,), dtype=jnp.int32),
+        jnp.zeros((cap_total,), dtype=jnp.float32),
+        jnp.zeros((cap_total,), dtype=jnp.float32),
+    )
+    (total, buf_i, buf_j, buf_r2, buf_dp), counts = jax.lax.scan(
+        step, init, (r0s, c0s, valid)
+    )
+    return total, jnp.max(counts), buf_i, buf_j, buf_r2, buf_dp
 
 
 def stream_threshold_scan(
@@ -108,9 +170,11 @@ def stream_threshold_scan(
     measure: str = "r_square",
     thres: float,
     max_dist=None,
-    band: int = 2048,
+    band: int = 4096,
     chunk: int = 8192,
-    cap_per_tile: int = 1 << 20,
+    cap_per_tile: int = 1 << 22,
+    cap_total: int = 1 << 23,
+    max_tiles_per_call: int = 512,
     use_pallas: bool = True,
     interpret: bool = False,
     exact: bool = True,
@@ -133,63 +197,90 @@ def stream_threshold_scan(
     band = min(band, _round_up(v, 256))
     chunk = min(chunk, _round_up(v, 512))
     h_pad = _round_up(h, 128)
+    # pad V so every dynamic slice stays in bounds
+    v_pad = _round_up(v, max(band, chunk)) + max(band, chunk)
     sel = 0 if measure == "r_square" else 1
     margin_thres = float(thres) - 5e-4
     use_dist = max_dist is not None
 
-    c1_full = G.astype(np.int64).sum(axis=1).astype(np.float32)
+    g_host = np.zeros((v_pad, h_pad), dtype=np.int8)
+    g_host[:v, :h] = G
+    c1_host = np.zeros((v_pad, 1), dtype=np.float32)
+    c1_host[:v, 0] = G.astype(np.int64).sum(axis=1)
+    # padding positions land far away so the dist filter kills them
+    # (int32-safe sentinel: JAX defaults to 32-bit ints)
+    pos_host = np.full((v_pad,), -(2**30), dtype=np.int32)
+    pos_host[:v] = pos
+    g_dev = jnp.asarray(g_host)       # resident in HBM for the whole scan
+    c1_dev = jnp.asarray(c1_host)
+    pos_dev = jnp.asarray(pos_host)
+    del g_host
 
-    def pad2(x, r, c):
-        out = np.zeros((r, c), dtype=x.dtype)
-        out[: x.shape[0], : x.shape[1]] = x
-        return out
+    # Build the tile coordinate list on the host (with whole-tile
+    # distance pruning: positions are sorted, so the closest pair of a
+    # fully-below-diagonal tile is (first row, last col)).
+    tiles = []
+    n_skipped = 0
+    for r0 in range(0, v, band):
+        nr = min(band, v - r0)
+        col_limit = r0 + nr  # strict lower triangle needs j < i only
+        for c0 in range(0, col_limit, chunk):
+            if use_dist:
+                nc = min(chunk, v - c0)
+                if c0 + nc - 1 < r0:
+                    closest = int(pos[r0]) - int(pos[c0 + nc - 1])
+                    if closest > max_dist:
+                        n_skipped += 1
+                        continue
+            tiles.append((r0, c0))
+    if n_skipped:
+        log.info("distance pruning skipped %d/%d tiles on the host",
+                 n_skipped, n_skipped + len(tiles))
 
     hits_i, hits_j, hits_r2, hits_dp = [], [], [], []
-    for r0 in range(0, v, band):
-        rows = G[r0 : r0 + band]
-        nr = rows.shape[0]
-        g_rows = jnp.asarray(pad2(rows, band, h_pad))
-        c1_rows = np.zeros((band, 1), dtype=np.float32)
-        c1_rows[:nr, 0] = c1_full[r0 : r0 + band]
-        pos_rows = np.zeros((band,), dtype=np.int32)
-        pos_rows[:nr] = pos[r0 : r0 + band]
-        col_limit = r0 + nr
-        for c0 in range(0, col_limit, chunk):
-            cols = G[c0 : c0 + chunk]
-            nc = cols.shape[0]
-            g_cols = jnp.asarray(pad2(cols, chunk, h_pad))
-            c1_cols = np.zeros((chunk, 1), dtype=np.float32)
-            c1_cols[:nc, 0] = c1_full[c0 : c0 + chunk]
-            # padding positions land far away so the dist filter kills
-            # them (int32-safe sentinel: JAX defaults to 32-bit ints)
-            pos_cols = np.full((chunk,), -(2**30), dtype=np.int32)
-            pos_cols[:nc] = pos[c0 : c0 + chunk]
-
-            count, ii, jj, r2v, dpv = _scan_tile(
-                g_rows, g_cols,
-                jnp.asarray(c1_rows), jnp.asarray(c1_cols),
-                jnp.asarray(pos_rows), jnp.asarray(pos_cols),
-                jnp.int32(r0), jnp.int32(c0), jnp.int32(n_haplotypes),
-                jnp.float32(margin_thres),
-                jnp.int32(max_dist if use_dist else 0),
-                band=band, chunk=chunk, cap=cap_per_tile,
-                use_pallas=use_pallas, interpret=interpret,
-                sel=sel, use_dist=use_dist,
+    batch = max_tiles_per_call
+    for s in range(0, len(tiles), batch):
+        part = tiles[s : s + batch]
+        # pad the coordinate list to a power-of-two length so differently
+        # sized chromosomes reuse a handful of compiled programs
+        n_valid = len(part)
+        target_len = 1
+        while target_len < n_valid:
+            target_len *= 2
+        part = part + [(0, 0)] * (target_len - n_valid)
+        r0s = jnp.asarray([t[0] for t in part], dtype=jnp.int32)
+        c0s = jnp.asarray([t[1] for t in part], dtype=jnp.int32)
+        valid = jnp.asarray(
+            [k < n_valid for k in range(len(part))], dtype=bool
+        )
+        total, max_count, buf_i, buf_j, buf_r2, buf_dp = _scan_tiles_batch(
+            g_dev, c1_dev, pos_dev, r0s, c0s, valid,
+            jnp.int32(n_haplotypes), jnp.float32(margin_thres),
+            jnp.int32(max_dist if use_dist else 0),
+            band=band, chunk=chunk, cap_total=cap_total,
+            cap_tile=cap_per_tile, use_pallas=use_pallas,
+            interpret=interpret, sel=sel, use_dist=use_dist,
+        )
+        total = int(total)
+        if int(max_count) > cap_per_tile:
+            raise RuntimeError(
+                f"a tile produced {int(max_count)} hits > cap_per_tile "
+                f"{cap_per_tile}; raise cap_per_tile"
             )
-            count = int(count)
-            if count == 0:
-                continue
-            if count > cap_per_tile:
-                raise RuntimeError(
-                    f"tile ({r0},{c0}): {count} hits exceed cap "
-                    f"{cap_per_tile}; raise cap_per_tile"
-                )
-            ii = np.asarray(ii)[:count]
-            jj = np.asarray(jj)[:count]
-            hits_i.append(ii.astype(np.int64) + r0)
-            hits_j.append(jj.astype(np.int64) + c0)
-            hits_r2.append(np.asarray(r2v)[:count])
-            hits_dp.append(np.asarray(dpv)[:count])
+        if total > cap_total:
+            raise RuntimeError(
+                f"batch produced {total} hits > cap_total {cap_total}; "
+                "raise cap_total or the threshold"
+            )
+        if total == 0:
+            continue
+        bi = np.asarray(buf_i)[:total].astype(np.int64)
+        bj = np.asarray(buf_j)[:total].astype(np.int64)
+        keep = (bi < v) & (bj < v)  # drop padding-row pairs
+        hits_i.append(bi[keep])
+        hits_j.append(bj[keep])
+        hits_r2.append(np.asarray(buf_r2)[:total][keep])
+        hits_dp.append(np.asarray(buf_dp)[:total][keep])
 
     if not hits_i:
         z = np.zeros((0,))

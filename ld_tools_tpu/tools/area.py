@@ -149,37 +149,31 @@ class AreaRunner:
             high = q_pos + cfg.flank_size
             windows.append(cd.window(low, high))
 
-        if len(q_rows) * G.shape[0] <= _DENSE_CELL_LIMIT:
-            # One dense device call: all queries x whole chromosome.
-            c_ab, c1q, c1all = pair_counts(G[q_rows], G)
-            exacts = exact_ld_from_counts(c_ab, c1q, c1all, n_hap)
-            r2_all = exacts.r_square_rounded()
-            dp_all = exacts.d_prime_rounded()
-
-            def get_block(qi, start, stop):
-                return (
-                    r2_all[qi, start:stop],
-                    dp_all[qi, start:stop],
-                    exacts.p2[start:stop],
-                    exacts.p1[qi],
-                )
-        else:
-            get_block = None
+        # Queries are processed in dense groups (group x whole-chromosome
+        # device calls) sized to _DENSE_CELL_LIMIT — one device round
+        # trip per group instead of per query.
+        group_size = max(1, _DENSE_CELL_LIMIT // max(G.shape[0], 1))
 
         written = 0
+        group_start = 0
+        exacts = None
+        r2_all = dp_all = None
         for qi, row in enumerate(q_rows):
+            if exacts is None or qi >= group_start + group_size:
+                group_start = (qi // group_size) * group_size
+                grp = q_rows[group_start : group_start + group_size]
+                c_ab, c1q, c1all = pair_counts(G[grp], G)
+                exacts = exact_ld_from_counts(c_ab, c1q, c1all, n_hap)
+                r2_all = exacts.r_square_rounded()
+                dp_all = exacts.d_prime_rounded()
+            gi = qi - group_start
             q_pos = int(pos[row])
             q_rsid = str(rsid[row])
             start, stop = windows[qi]
-            if get_block is not None:
-                r2_win, dp_win, p2_win, p_q = get_block(qi, start, stop)
-            else:
-                c_ab, c1q, c2 = pair_counts(G[row : row + 1], G[start:stop])
-                ex = exact_ld_from_counts(c_ab, c1q, c2, n_hap)
-                r2_win = ex.r_square_rounded()[0]
-                dp_win = ex.d_prime_rounded()[0]
-                p2_win = ex.p2
-                p_q = ex.p1[0]
+            r2_win = r2_all[gi, start:stop]
+            dp_win = dp_all[gi, start:stop]
+            p2_win = exacts.p2[start:stop]
+            p_q = exacts.p1[gi]
 
             query_alt_freq = round(float(p_q), 4)
             query_ann = [

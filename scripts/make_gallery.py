@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Regenerate gallery/ example outputs from synthetic data.
+
+The reference documents its output formats with a gallery of screenshots;
+here the gallery holds actual output files (self-contained heatmap HTML,
+triangle TSV, area TSV, pair table text) produced from a deterministic
+synthetic dataset, so `git diff` shows format changes.
+"""
+
+import os
+import sys
+import tempfile
+import types
+
+
+def main():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from ld_tools_tpu.ingest import prep_intgen_data, synth
+    from ld_tools_tpu.tools import area, lite, triangle
+
+    gallery = os.path.join(repo, "gallery")
+    os.makedirs(gallery, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="tpu_ld_gallery_")
+    data_dir = os.path.join(work, "data")
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    rs = synth.generate_dataset(
+        data_dir, n_samples=60, chrom_variant_counts={"14": 24}, seed=14
+    )
+    prep_intgen_data(data_dir)
+    rsids = list(rs["14"])
+    with open(os.path.join(src_dir, "example.txt"), "w") as fh:
+        fh.write("\n".join(rsids) + "\n")
+
+    common = dict(
+        intgen_dir_path=data_dir, skip_intgen_data_ver=True,
+        gend_names="both", pop_names="all",
+    )
+    table = lite.run(types.SimpleNamespace(
+        rs_id_1=rsids[0], rs_id_2=rsids[3], **common))
+    with open(os.path.join(gallery, "ld_lite_pair_table.txt"), "w") as fh:
+        fh.write(table + "\n")
+
+    triangle.run(types.SimpleNamespace(
+        src_dir_path=src_dir, trg_top_dir_path=work, meta_lines_quan=0,
+        ld_measure="r_square", ld_low_thres=None, matrix_type="both",
+        heatmap_json=True, disp_letters=True, color_pal="ylgnbu",
+        font_size=None, square_shape=True, dont_disp_footer=False,
+        max_proc_quan=4, **common))
+    matr = os.path.join(work, "example_LD_matr")
+    for name in os.listdir(matr):
+        src = os.path.join(matr, name)
+        dst = os.path.join(gallery, "ld_triangle_" + name)
+        with open(src) as s, open(dst, "w") as d:
+            d.write(s.read())
+
+    area.run(types.SimpleNamespace(
+        src_dir_path=src_dir, trg_top_dir_path=work, meta_lines_quan=0,
+        flank_size=10**6, ld_thres_measure="r_square", ld_low_thres=0.5,
+        trg_file_type="tsv", max_proc_quan=4, **common))
+    area_dir = os.path.join(work, "example_in_LD", "14")
+    picked = sorted(os.listdir(area_dir))[0]
+    with open(os.path.join(area_dir, picked)) as s, open(
+        os.path.join(gallery, "ld_area_" + picked), "w"
+    ) as d:
+        d.write(s.read())
+    print(f"gallery refreshed in {gallery}")
+
+
+if __name__ == "__main__":
+    main()
