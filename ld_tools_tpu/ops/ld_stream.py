@@ -178,6 +178,7 @@ def stream_threshold_scan(
     use_pallas: bool = True,
     interpret: bool = False,
     exact: bool = True,
+    checkpoint_dir=None,
 ) -> ScanHits:
     """Scan all lower-triangle pairs of G; keep measure >= thres.
 
@@ -237,9 +238,41 @@ def stream_threshold_scan(
         log.info("distance pruning skipped %d/%d tiles on the host",
                  n_skipped, n_skipped + len(tiles))
 
+    # Optional block-level resume (SURVEY.md §5 checkpoint row): each
+    # completed batch persists its hits keyed by a config fingerprint, so
+    # a killed multi-hour scan restarts where it stopped.
+    ckpt = None
+    if checkpoint_dir is not None:
+        import hashlib
+        import os
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        fp = hashlib.sha256(
+            repr((v, h, measure, thres, max_dist, band, chunk,
+                  int(np.asarray(pos)[-1]) if v else 0)).encode()
+        ).hexdigest()[:16]
+
+        def ckpt(batch_idx):  # noqa: F811
+            return os.path.join(
+                checkpoint_dir, f"scan_{fp}_batch{batch_idx}.npz"
+            )
+
     hits_i, hits_j, hits_r2, hits_dp = [], [], [], []
     batch = max_tiles_per_call
     for s in range(0, len(tiles), batch):
+        if ckpt is not None:
+            import os
+
+            path = ckpt(s // batch)
+            if os.path.exists(path):
+                saved = np.load(path)
+                if saved["i"].size:
+                    hits_i.append(saved["i"])
+                    hits_j.append(saved["j"])
+                    hits_r2.append(saved["r2"])
+                    hits_dp.append(saved["dp"])
+                log.info("resumed batch %d from %s", s // batch, path)
+                continue
         part = tiles[s : s + batch]
         # pad the coordinate list to a power-of-two length so differently
         # sized chromosomes reuse a handful of compiled programs
@@ -272,15 +305,30 @@ def stream_threshold_scan(
                 f"batch produced {total} hits > cap_total {cap_total}; "
                 "raise cap_total or the threshold"
             )
+        if total > 0:
+            bi = np.asarray(buf_i)[:total].astype(np.int64)
+            bj = np.asarray(buf_j)[:total].astype(np.int64)
+            keep = (bi < v) & (bj < v)  # drop padding-row pairs
+            bi, bj = bi[keep], bj[keep]
+            br2 = np.asarray(buf_r2)[:total][keep]
+            bdp = np.asarray(buf_dp)[:total][keep]
+        else:
+            bi = bj = np.zeros((0,), dtype=np.int64)
+            br2 = bdp = np.zeros((0,), dtype=np.float32)
+        if ckpt is not None:
+            import os
+
+            path = ckpt(s // batch)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                np.savez(fh, i=bi, j=bj, r2=br2, dp=bdp)
+            os.replace(tmp, path)
         if total == 0:
             continue
-        bi = np.asarray(buf_i)[:total].astype(np.int64)
-        bj = np.asarray(buf_j)[:total].astype(np.int64)
-        keep = (bi < v) & (bj < v)  # drop padding-row pairs
-        hits_i.append(bi[keep])
-        hits_j.append(bj[keep])
-        hits_r2.append(np.asarray(buf_r2)[:total][keep])
-        hits_dp.append(np.asarray(buf_dp)[:total][keep])
+        hits_i.append(bi)
+        hits_j.append(bj)
+        hits_r2.append(br2)
+        hits_dp.append(bdp)
 
     if not hits_i:
         z = np.zeros((0,))

@@ -24,6 +24,7 @@ from ld_tools_tpu.ops.engine import pair_counts
 from ld_tools_tpu.ops.exact import exact_ld_from_counts
 from ld_tools_tpu.tools.common import DataConfig
 from ld_tools_tpu.utils.logging import get_logger
+from ld_tools_tpu.utils.profiling import maybe_trace
 
 log = get_logger("tools.area")
 
@@ -244,12 +245,13 @@ def run(args) -> int:
     src_file_names = sorted(os.listdir(config.src_dir_path))
 
     print("\nSelecting variants in LD and in window")
-    t0 = datetime.datetime.now()
-    total = 0
-    for name in src_file_names:
-        full = os.path.join(config.src_dir_path, name)
-        if not os.path.isfile(full):
-            continue
-        total += runner.process_file(name)
+    with maybe_trace():
+        t0 = datetime.datetime.now()
+        total = 0
+        for name in src_file_names:
+            full = os.path.join(config.src_dir_path, name)
+            if not os.path.isfile(full):
+                continue
+            total += runner.process_file(name)
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return total

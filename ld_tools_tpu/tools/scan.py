@@ -19,6 +19,7 @@ from ld_tools_tpu.ops.exact import format_rounded
 from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
 from ld_tools_tpu.tools.common import DataConfig
 from ld_tools_tpu.utils.logging import get_logger
+from ld_tools_tpu.utils.profiling import maybe_trace
 
 log = get_logger("tools.scan")
 
@@ -114,10 +115,11 @@ def run(args) -> int:
 
     chroms = chromosomes_for_this_process(chroms)
     print("\nWhole-chromosome LD scan")
-    t0 = datetime.datetime.now()
-    n = 0
-    for chrom in chroms:
-        scan_chromosome(data, config, chrom)
-        n += 1
+    with maybe_trace():
+        t0 = datetime.datetime.now()
+        n = 0
+        for chrom in chroms:
+            scan_chromosome(data, config, chrom)
+            n += 1
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return n

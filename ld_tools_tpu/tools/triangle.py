@@ -20,6 +20,7 @@ from ld_tools_tpu.io.writers import makedirs, write_triangle_tsv
 from ld_tools_tpu.ops.engine import exact_all_pairs
 from ld_tools_tpu.tools.common import DataConfig, variant_annotations
 from ld_tools_tpu.utils.logging import get_logger
+from ld_tools_tpu.utils.profiling import maybe_trace
 
 log = get_logger("tools.triangle")
 
@@ -228,11 +229,12 @@ def run(args) -> int:
     src_file_names = sorted(os.listdir(config.src_dir_path))
 
     print("\nLD matrix(-es) creation")
-    t0 = datetime.datetime.now()
-    total = 0
-    for name in src_file_names:
-        if not os.path.isfile(os.path.join(config.src_dir_path, name)):
-            continue
-        total += runner.process_file(name)
+    with maybe_trace():
+        t0 = datetime.datetime.now()
+        total = 0
+        for name in src_file_names:
+            if not os.path.isfile(os.path.join(config.src_dir_path, name)):
+                continue
+            total += runner.process_file(name)
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return total

@@ -41,6 +41,24 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
+def maybe_trace():
+    """Trace to $TPU_LD_PROFILE_DIR when set; no-op otherwise.
+
+    Every tool entry wraps its compute loop in this, giving the
+    profiler-hook capability the reference lacks (its instrumentation is
+    one wall-clock print, ld_area.py:337-342).
+    """
+    import os
+
+    log_dir = os.environ.get("TPU_LD_PROFILE_DIR")
+    if not log_dir:
+        yield
+        return
+    with trace(log_dir):
+        yield
+
+
 @dataclasses.dataclass
 class Roofline:
     """Analytic roofline for an all-pairs LD sweep."""

@@ -68,3 +68,31 @@ def test_ragged_variant_count(reference_case):
         np.testing.assert_allclose(
             np.asarray(r2), np.asarray(out["r_square"]), atol=1e-5
         )
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_trapezoid_matches_single_device(reference_case, n_dev):
+    from ld_tools_tpu.parallel import all_pairs_trapezoid
+
+    G, r2_ref, dp_ref = reference_case
+    mesh = make_mesh(n_dev)
+    r2, dp = all_pairs_trapezoid(G, mesh=mesh)
+    # trapezoid zeroes the strict upper triangle; compare lower only
+    tri = np.tril_indices(G.shape[0], 0)
+    np.testing.assert_allclose(np.asarray(r2)[tri], r2_ref[tri], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dp)[tri], dp_ref[tri], atol=1e-4)
+    assert np.all(np.triu(np.asarray(r2), 1) == 0)
+
+
+def test_trapezoid_ragged(reference_case):
+    from ld_tools_tpu.parallel import all_pairs_trapezoid
+    from ld_tools_tpu.ops.ld_math import ld_block
+
+    rng = np.random.default_rng(99)
+    G = random_haplotypes(rng, 53, 64, maf_low=0.1, maf_high=0.9)
+    out = ld_block(jnp.asarray(G), jnp.asarray(G))
+    r2, dp = all_pairs_trapezoid(G, mesh=make_mesh(4))
+    tri = np.tril_indices(53, 0)
+    np.testing.assert_allclose(
+        np.asarray(r2)[tri], np.asarray(out["r_square"])[tri], atol=1e-5
+    )

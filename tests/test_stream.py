@@ -81,3 +81,25 @@ def test_format_rounded():
     rng = np.random.default_rng(4)
     xs = np.round(rng.random(500), 4)
     assert format_rounded(xs) == [str(round(float(x), 4)) for x in xs]
+
+
+def test_scan_checkpoint_resume(rng, tmp_path):
+    G = random_haplotypes(rng, 50, 80, maf_low=0.05, maf_high=0.95)
+    pos = (np.arange(50, dtype=np.int64) + 1) * 100
+    kw = dict(measure="r_square", thres=0.4, band=16, chunk=16,
+              max_tiles_per_call=2, use_pallas=False, exact=True,
+              checkpoint_dir=str(tmp_path))
+    first = stream_threshold_scan(G, pos=pos, **kw)
+    assert len(list(tmp_path.glob("scan_*_batch*.npz"))) > 0
+    # resumed run must reproduce the identical result from checkpoints
+    second = stream_threshold_scan(G, pos=pos, **kw)
+    np.testing.assert_array_equal(first.i, second.i)
+    np.testing.assert_array_equal(first.j, second.j)
+    np.testing.assert_array_equal(first.r_square, second.r_square)
+    # and must match a clean no-checkpoint run
+    clean = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=0.4, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    np.testing.assert_array_equal(first.i, clean.i)
+    np.testing.assert_array_equal(first.r_square, clean.r_square)
