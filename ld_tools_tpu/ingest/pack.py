@@ -85,6 +85,12 @@ def read_meta(intgen_dir_path: str, chrom: str) -> dict:
         return json.load(fh)
 
 
+def read_packed(intgen_dir_path: str, chrom: str) -> np.ndarray:
+    """The raw bitpacked (V, ceil(H/8)) uint8 matrix, memory-mapped."""
+    d = chrom_dir(intgen_dir_path, chrom)
+    return np.load(os.path.join(d, "gt.npy"), mmap_mode="r")
+
+
 def read_genotypes(intgen_dir_path: str, chrom: str, n_haplotypes: int) -> np.ndarray:
     """Unpack gt.npy to an int8 (V, H) matrix."""
     d = chrom_dir(intgen_dir_path, chrom)

@@ -29,6 +29,7 @@ class ChromData:
         self.pos = pack.read_sidecar(intgen_dir_path, chrom, "pos")
         self._rsid = None
         self._G = None
+        self._packed = None
         self._row_index = None
         self._ann = {}
 
@@ -44,6 +45,22 @@ class ChromData:
         if self._G is None:
             self._G = pack.read_genotypes(self._dir, self.chrom, self.n_haplotypes)
         return self._G
+
+    def genotype_rows(self, rows) -> np.ndarray:
+        """(len(rows), H) int8 for selected variants only.
+
+        Unpacks just the requested rows from the bitpacked file — point
+        queries (ld_lite) and small matrices stay O(rows), not O(V).
+        Uses the cached full matrix when it is already resident.
+        """
+        rows = np.asarray(rows, dtype=np.int64)
+        if self._G is not None:
+            return self._G[rows]
+        if self._packed is None:
+            self._packed = pack.read_packed(self._dir, self.chrom)
+        return np.unpackbits(
+            self._packed[rows], axis=1, count=self.n_haplotypes
+        ).astype(np.int8)
 
     def annotation(self, name: str) -> np.ndarray:
         """'ref' | 'alt' | 'vt' sidecar."""

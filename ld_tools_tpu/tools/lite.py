@@ -43,7 +43,7 @@ def run(args) -> str:
     var_2_alleles, var_2_type = variant_annotations(chrom_data, row_2)
 
     cols = chrom_data.haplotype_columns(config.sample_names)
-    G = chrom_data.genotypes[[row_1, row_2]][:, cols]
+    G = chrom_data.genotype_rows([row_1, row_2])[:, cols]
     exact = exact_pair_ld(G[:1], G[1:])
     trg_vals = exact.pair(0, 0)
 

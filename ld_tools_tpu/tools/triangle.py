@@ -127,7 +127,7 @@ class TriangleRunner:
             return
 
         cols = cd.haplotype_columns(self.data.sample_names)
-        G = cd.genotypes[rows][:, cols]
+        G = cd.genotype_rows(rows)[:, cols]
         exact = exact_all_pairs(G)
         measure_vals = (
             exact.r_square_rounded()

@@ -153,3 +153,15 @@ def test_create_src_dict(dataset, tmp_path):
     with open(os.path.join(src_dir, "empty.tsv"), "w") as fh:
         fh.write("nothing\n")
     assert create_src_dict(src_dir, "empty.tsv", 0, db) == {}
+
+
+def test_genotype_rows_selective_unpack(dataset):
+    d, _, _ = dataset
+    from ld_tools_tpu.ingest import HaplotypeStore
+
+    # fresh store instance: no cached full matrix
+    cd = HaplotypeStore(d).chrom("1")
+    sel = cd.genotype_rows([3, 0, 7])
+    assert cd._G is None  # full matrix never unpacked
+    full = cd.genotypes
+    np.testing.assert_array_equal(sel, full[[3, 0, 7]])

@@ -151,3 +151,16 @@ def test_round4_matches_python_round(rng):
         got = round4(arr)
         want = np.array([round(float(v), 4) for v in arr])
         np.testing.assert_array_equal(got, want)
+
+
+def test_exact_all_pairs_blocked_path(rng):
+    from ld_tools_tpu.ops.engine import exact_all_pairs
+
+    G = random_haplotypes(rng, 70, 64, maf_low=0.1, maf_high=0.9)
+    whole = exact_all_pairs(G)  # single-call path
+    blocked = exact_all_pairs(G, block=32)  # host-blocked streaming path
+    np.testing.assert_array_equal(whole.r_square, blocked.r_square)
+    np.testing.assert_array_equal(whole.d_prime, blocked.d_prime)
+    np.testing.assert_array_equal(
+        whole.d_prime_is_int_zero, blocked.d_prime_is_int_zero
+    )
