@@ -129,6 +129,17 @@ class TriangleRunner:
         cols = cd.haplotype_columns(self.data.sample_names)
         G = cd.genotype_rows(rows)[:, cols]
         exact = exact_all_pairs(G)
+
+        if cfg.matrix_type == "table":
+            # Table-only runs skip the per-cell Python object matrices and
+            # format straight from the f64 arrays — the path that scales
+            # to 10k+ variant TSVs.
+            self._write_table_fast(
+                exact, chrom, rs_ids_srtd, poss_srtd, src_file_base,
+                trg_dir_path,
+            )
+            return
+
         measure_vals = (
             exact.r_square_rounded()
             if cfg.ld_measure == "r_square"
@@ -238,3 +249,68 @@ def run(args) -> int:
             total += runner.process_file(name)
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return total
+
+
+def _triangle_cells(exact, measure, thres):
+    """(numeric_strings, keep_mask) for the TSV fast path.
+
+    Reproduces the reference's cell semantics: cells above/on the
+    diagonal, below-threshold cells, and the initial value all print as
+    int '0'; monomorphic sentinels print '0'; everything else prints the
+    4-dp rounded value (ld_triangle.py:114, :223-230).
+    """
+    import numpy as np
+
+    from ld_tools_tpu.ops.exact import format_rounded, round4
+
+    vals = exact.r_square if measure == "r_square" else exact.d_prime
+    int_zero = (
+        exact.r_square_is_int_zero
+        if measure == "r_square"
+        else exact.d_prime_is_int_zero
+    )
+    rounded = round4(vals)
+    rounded[int_zero] = 0.0
+    n = vals.shape[0]
+    keep = np.tril(np.ones((n, n), dtype=bool), -1)
+    if thres is not None:
+        keep &= rounded >= thres
+    return rounded, int_zero, keep
+
+
+def _write_table_fast(
+    self, exact, chrom, rs_ids_srtd, poss_srtd, src_file_base, trg_dir_path
+):
+    import os
+
+    from ld_tools_tpu.ops.exact import format_rounded
+
+    cfg = self.config
+    rounded, int_zero, keep = _triangle_cells(
+        exact, cfg.ld_measure, cfg.ld_low_thres
+    )
+    n = len(rs_ids_srtd)
+    trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
+    path = os.path.join(trg_dir_path, trg_file_base + ".tsv")
+    tab = "\t"
+    poss_str = [str(p) for p in poss_srtd]
+    with open(path, "w") as fh:
+        fh.write(
+            f"##General\tinfo:\t{cfg.ld_measure}\tchr{chrom}\t"
+            f"{tab.join(self.data.pop_names)}\t"
+            f"{tab.join(self.data.gend_names)}\n\n"
+        )
+        fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
+        fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
+        for i in range(n):
+            cells = format_rounded(rounded[i], int_zero[i])
+            row = [
+                cells[j] if keep[i, j] else "0" for j in range(n)
+            ]
+            fh.write(
+                rs_ids_srtd[i] + "\t" + poss_str[i] + "\t"
+                + "\t".join(row) + "\n"
+            )
+
+
+TriangleRunner._write_table_fast = _write_table_fast

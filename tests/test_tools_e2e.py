@@ -289,3 +289,26 @@ def test_triangle_single_variant_chrom_skipped(env, tmp_path):
     n = triangle.run(args)
     assert n == 0
     assert not os.path.exists(os.path.join(str(tmp_path / "t"), "one_LD_matr"))
+
+
+def test_triangle_fast_table_matches_object_path(env, tmp_path):
+    """The vectorized table writer must be byte-identical to the
+    object-array path (exercised via matrix_type='both')."""
+    trg_a = str(tmp_path / "a")
+    trg_b = str(tmp_path / "b")
+    triangle.run(_triangle_args(env, trg_a, matrix_type="table", thres=0.4))
+    triangle.run(_triangle_args(env, trg_b, matrix_type="both", thres=0.4))
+    for chrom in ("5", "11"):
+        pa = os.path.join(trg_a, "query_LD_matr", f"query_chr{chrom}_r.tsv")
+        pb = os.path.join(trg_b, "query_LD_matr", f"query_chr{chrom}_r.tsv")
+        assert open(pa).read() == open(pb).read()
+    # and for d_prime
+    trg_c = str(tmp_path / "c")
+    trg_d = str(tmp_path / "d")
+    triangle.run(_triangle_args(env, trg_c, matrix_type="table",
+                                measure="d_prime"))
+    triangle.run(_triangle_args(env, trg_d, matrix_type="both",
+                                measure="d_prime"))
+    pa = os.path.join(trg_c, "query_LD_matr", "query_chr5_d.tsv")
+    pb = os.path.join(trg_d, "query_LD_matr", "query_chr5_d.tsv")
+    assert open(pa).read() == open(pb).read()
