@@ -88,9 +88,9 @@ def _split(raw: bytes) -> list:
     return text.split("\n")[:-1] if text else []
 
 
-def scan(path: str):
-    """Native scan -> (genotypes int8 (V, H), pos, rsid, ref, alt, vt,
-    samples), matching ingest/vcf.py's record semantics."""
+def scan_packed(path: str):
+    """Native scan -> (packed uint8 (V, ceil(H/8)), n_haplotypes, pos,
+    rsid, ref, alt, vt, samples) — no unpacked matrix is materialized."""
     lib = _load()
     handle = lib.vp_scan(os.fspath(path).encode())
     if not handle:
@@ -106,18 +106,25 @@ def scan(path: str):
             packed = np.ctypeslib.as_array(
                 lib.vp_genotypes_packed(handle), shape=(v, row_bytes)
             ).copy()
-            genotypes = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
             pos = np.ctypeslib.as_array(
                 lib.vp_positions(handle), shape=(v,)
             ).copy()
         else:
-            genotypes = np.zeros((0, h), dtype=np.int8)
+            packed = np.zeros((0, (h + 7) // 8), dtype=np.uint8)
             pos = np.zeros((0,), dtype=np.int64)
         rsid = _split(lib.vp_rsids(handle))
         ref = _split(lib.vp_refs(handle))
         alt = _split(lib.vp_alts(handle))
         vt = _split(lib.vp_vts(handle))
         samples = _split(lib.vp_samples(handle))
-        return genotypes, pos, rsid, ref, alt, vt, samples
+        return packed, int(h), pos, rsid, ref, alt, vt, samples
     finally:
         lib.vp_free(handle)
+
+
+def scan(path: str):
+    """Native scan -> (genotypes int8 (V, H), pos, rsid, ref, alt, vt,
+    samples), matching ingest/vcf.py's record semantics."""
+    packed, h, pos, rsid, ref, alt, vt, samples = scan_packed(path)
+    genotypes = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
+    return genotypes, pos, rsid, ref, alt, vt, samples

@@ -24,3 +24,18 @@ def scan_vcf(path: str):
         return _vcfpack_ctypes.scan(path)
     except _vcfpack_ctypes.NativeUnavailable:
         return None
+
+
+def scan_vcf_packed(path: str):
+    """Scan a VCF natively into the bitpacked form (chromosome-scale
+    safe: no unpacked matrix).  Returns (packed, n_haplotypes, pos, rsid,
+    ref, alt, vt, samples) or None when the native library is missing.
+    """
+    try:
+        from ld_tools_tpu.ingest import _vcfpack_ctypes
+    except Exception:
+        return None
+    try:
+        return _vcfpack_ctypes.scan_packed(path)
+    except _vcfpack_ctypes.NativeUnavailable:
+        return None

@@ -48,20 +48,34 @@ def is_packed(intgen_dir_path: str, chrom: str) -> bool:
 def write_chrom(
     intgen_dir_path: str,
     chrom: str,
-    genotypes: np.ndarray,
-    pos: np.ndarray,
-    rsid,
-    ref,
-    alt,
-    vt,
-    samples,
+    genotypes: np.ndarray = None,
+    pos: np.ndarray = None,
+    rsid=None,
+    ref=None,
+    alt=None,
+    vt=None,
+    samples=None,
+    genotypes_packed: np.ndarray = None,
+    n_haplotypes: int = None,
 ) -> str:
-    """Write one chromosome's packed arrays; atomic via meta-last ordering."""
+    """Write one chromosome's packed arrays; atomic via meta-last ordering.
+
+    Pass either ``genotypes`` (int8 (V, H), packed here) or
+    ``genotypes_packed`` (uint8 (V, ceil(H/8)) + ``n_haplotypes``) — the
+    native scanner emits the packed form directly, so chromosome-scale
+    ingest never materializes the unpacked matrix (30+ GB for chr1).
+    """
     d = chrom_dir(intgen_dir_path, chrom)
     os.makedirs(d, exist_ok=True)
-    genotypes = np.ascontiguousarray(genotypes, dtype=np.uint8)
-    n_variants, n_haplotypes = genotypes.shape
-    np.save(os.path.join(d, "gt.npy"), np.packbits(genotypes, axis=1))
+    if genotypes_packed is not None:
+        packed = np.ascontiguousarray(genotypes_packed, dtype=np.uint8)
+        n_variants = packed.shape[0]
+        assert n_haplotypes is not None
+    else:
+        genotypes = np.ascontiguousarray(genotypes, dtype=np.uint8)
+        n_variants, n_haplotypes = genotypes.shape
+        packed = np.packbits(genotypes, axis=1)
+    np.save(os.path.join(d, "gt.npy"), packed)
     np.save(os.path.join(d, "pos.npy"), np.asarray(pos, dtype=np.int64))
     np.save(os.path.join(d, "rsid.npy"), np.asarray(rsid))
     np.save(os.path.join(d, "ref.npy"), np.asarray(ref))

@@ -32,9 +32,10 @@ import urllib.request
 import numpy as np
 
 from ld_tools_tpu.ingest import pack
-from ld_tools_tpu.utils.logging import get_logger
+from ld_tools_tpu.utils.logging import Counters, get_logger
 
 log = get_logger("ingest.prep")
+counters = Counters()
 
 PANEL_URL = (
     "ftp://ftp.1000genomes.ebi.ac.uk/vol1/ftp/release/20130502/"
@@ -135,35 +136,43 @@ def _pack_chromosome(vcf_path: str, intgen_dir_path: str, chrom: str):
     from ld_tools_tpu.ingest import native
 
     t0 = time.time()
-    result = native.scan_vcf(vcf_path)
+    result = native.scan_vcf_packed(vcf_path)
     if result is not None:
-        genotypes, pos, rsid, ref, alt, vt, samples = result
+        packed, n_hap, pos, rsid, ref, alt, vt, samples = result
     else:
         from ld_tools_tpu.ingest import vcf as vcf_mod
 
         samples = vcf_mod.read_sample_names(vcf_path)
+        n_hap = 2 * len(samples)
+        # rows are packed as they stream so chromosome-scale ingest
+        # holds ~626 B/variant, never the unpacked matrix
         gt_rows, pos_l, rsid_l, ref_l, alt_l, vt_l = [], [], [], [], [], []
         for rec in vcf_mod.iter_records(vcf_path):
-            gt_rows.append(rec.genotypes)
+            gt_rows.append(np.packbits(rec.genotypes))
             pos_l.append(rec.pos)
             rsid_l.append(rec.rsid)
             ref_l.append(rec.ref)
             alt_l.append(",".join(rec.alts))
             vt_l.append(",".join(rec.vt))
         if gt_rows:
-            genotypes = np.vstack(gt_rows)
+            packed = np.vstack(gt_rows)
         else:
-            genotypes = np.zeros((0, 2 * len(samples)), dtype=np.int8)
+            packed = np.zeros((0, (n_hap + 7) // 8), dtype=np.uint8)
         pos, rsid, ref, alt, vt = pos_l, rsid_l, ref_l, alt_l, vt_l
     pack.write_chrom(
-        intgen_dir_path, chrom, genotypes, pos, rsid, ref, alt, vt, samples
+        intgen_dir_path, chrom, pos=pos, rsid=rsid, ref=ref, alt=alt,
+        vt=vt, samples=samples, genotypes_packed=packed,
+        n_haplotypes=n_hap,
     )
+    counters.add("variants_ingested", len(pos))
+    counters.add("chromosomes_packed")
     log.info(
-        "packed chr%s: %d variants x %d haplotypes in %.1fs",
+        "packed chr%s: %d variants x %d haplotypes in %.1fs (%.0f variants/s)",
         chrom,
         len(pos),
-        (genotypes.shape[1] if len(pos) else 0),
+        n_hap,
         time.time() - t0,
+        len(pos) / max(time.time() - t0, 1e-9),
     )
 
 

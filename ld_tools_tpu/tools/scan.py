@@ -53,6 +53,9 @@ class ScanConfig:
 
 def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
     """Scan one chromosome; returns the output file path."""
+    import time
+
+    t_start = time.time()
     cd = data.store().chrom(chrom)
     cols = cd.haplotype_columns(data.sample_names)
     G = cd.genotypes[:, cols]
@@ -94,8 +97,12 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
                 f"{int(pos[a])}\t{rsid[a]}\t{int(pos[b])}\t{rsid[b]}\t"
                 f"{int(pos[a]) - int(pos[b])}\t{r2_s[k]}\t{dp_s[k]}\n"
             )
-    log.info("chr%s: %d pairs above threshold -> %s",
-             chrom, len(hits.i), path)
+    n_pairs = cd.n_variants * (cd.n_variants - 1) / 2
+    log.info(
+        "chr%s: %d/%d pairs above threshold (%.1fs, %.2f Gpairs/s) -> %s",
+        chrom, len(hits.i), int(n_pairs), time.time() - t_start,
+        n_pairs / max(time.time() - t_start, 1e-9) / 1e9, path,
+    )
     return path
 
 
