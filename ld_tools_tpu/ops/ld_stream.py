@@ -104,62 +104,57 @@ def _tile_ld(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "band", "chunk", "cap_total", "cap_tile", "use_pallas",
-        "interpret", "sel", "use_dist",
+        "band", "chunk", "use_pallas", "interpret", "sel", "use_dist",
     ),
 )
-def _scan_tiles_batch(
+def _count_tiles_batch(
     g_dev, c1_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev, max_dist,
-    *, band, chunk, cap_total, cap_tile, use_pallas, interpret, sel,
-    use_dist,
+    *, band, chunk, use_pallas, interpret, sel, use_dist,
 ):
-    """ALL tiles in one device program: lax.scan over tile coordinates,
-    hits compacted into one shared buffer.
+    """Pass 1: per-tile hit COUNTS for a batch of tiles, one device call.
 
-    One host<->device round trip for the whole chromosome scan — through
-    an RPC-relayed device, per-call dispatch (~0.5 s) would otherwise
-    dwarf the ~20 ms of compute per tile.  A per-tile count exceeding
-    cap_tile is reported back so the host can raise instead of silently
-    truncating.
+    Through an RPC-relayed device, per-call dispatch (~0.5 s) would dwarf
+    the ~20 ms of compute per tile, so all tiles run inside one
+    lax.scan.  Only counts come back — hit extraction (pass 2) runs just
+    for the tiles that have any, which for thresholded genomic scans is a
+    small minority.
     """
 
-    def step(carry, tile):
-        offset, buf_i, buf_j, buf_r2, buf_dp = carry
+    def step(_, tile):
         row0, col0, is_valid = tile
-        r2, dp, keep, rows_g, cols_g = _tile_ld(
+        _, _, keep, _, _ = _tile_ld(
             g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
         )
         keep &= is_valid
-        count = jnp.sum(keep.astype(jnp.int32))
-        ii, jj = jnp.nonzero(keep, size=cap_tile, fill_value=-1)
-        k = jax.lax.broadcasted_iota(jnp.int32, (cap_tile, 1), 0)[:, 0]
-        # invalid slots target index cap_total and are dropped
-        target = jnp.where(k < count, offset + k, cap_total)
-        safe_i = jnp.maximum(ii, 0)
-        safe_j = jnp.maximum(jj, 0)
-        buf_i = buf_i.at[target].set(
-            (rows_g[safe_i, 0]).astype(jnp.int32), mode="drop"
-        )
-        buf_j = buf_j.at[target].set(
-            (cols_g[0, safe_j]).astype(jnp.int32), mode="drop"
-        )
-        buf_r2 = buf_r2.at[target].set(r2[safe_i, safe_j], mode="drop")
-        buf_dp = buf_dp.at[target].set(dp[safe_i, safe_j], mode="drop")
-        return (offset + count, buf_i, buf_j, buf_r2, buf_dp), count
+        return None, jnp.sum(keep.astype(jnp.int32))
 
-    init = (
-        jnp.int32(0),
-        jnp.zeros((cap_total,), dtype=jnp.int32),
-        jnp.zeros((cap_total,), dtype=jnp.int32),
-        jnp.zeros((cap_total,), dtype=jnp.float32),
-        jnp.zeros((cap_total,), dtype=jnp.float32),
+    _, counts = jax.lax.scan(step, None, (r0s, c0s, valid))
+    return counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "band", "chunk", "cap", "use_pallas", "interpret", "sel",
+        "use_dist",
+    ),
+)
+def _fetch_tile(
+    g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
+    *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
+):
+    """Pass 2: compacted hits for ONE tile known to contain some."""
+    r2, dp, keep, _, _ = _tile_ld(
+        g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
+        max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
+        interpret=interpret, sel=sel, use_dist=use_dist,
     )
-    (total, buf_i, buf_j, buf_r2, buf_dp), counts = jax.lax.scan(
-        step, init, (r0s, c0s, valid)
-    )
-    return total, jnp.max(counts), buf_i, buf_j, buf_r2, buf_dp
+    ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
+    safe_i = jnp.maximum(ii, 0)
+    safe_j = jnp.maximum(jj, 0)
+    return ii, jj, r2[safe_i, safe_j], dp[safe_i, safe_j]
 
 
 def stream_threshold_scan(
@@ -173,9 +168,8 @@ def stream_threshold_scan(
     band: int = 4096,
     chunk: int = 8192,
     cap_per_tile: int = 1 << 22,
-    cap_total: int = 1 << 23,
     max_tiles_per_call: int = 512,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
     interpret: bool = False,
     exact: bool = True,
     checkpoint_dir=None,
@@ -286,35 +280,47 @@ def stream_threshold_scan(
         valid = jnp.asarray(
             [k < n_valid for k in range(len(part))], dtype=bool
         )
-        total, max_count, buf_i, buf_j, buf_r2, buf_dp = _scan_tiles_batch(
-            g_dev, c1_dev, pos_dev, r0s, c0s, valid,
-            jnp.int32(n_haplotypes), jnp.float32(margin_thres),
-            jnp.int32(max_dist if use_dist else 0),
-            band=band, chunk=chunk, cap_total=cap_total,
-            cap_tile=cap_per_tile, use_pallas=use_pallas,
+        common = dict(
+            band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
         )
-        total = int(total)
-        if int(max_count) > cap_per_tile:
-            raise RuntimeError(
-                f"a tile produced {int(max_count)} hits > cap_per_tile "
-                f"{cap_per_tile}; raise cap_per_tile"
+        scalars = (
+            jnp.int32(n_haplotypes), jnp.float32(margin_thres),
+            jnp.int32(max_dist if use_dist else 0),
+        )
+        counts = np.asarray(_count_tiles_batch(
+            g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars, **common
+        ))
+        bi_l, bj_l, br2_l, bdp_l = [], [], [], []
+        for t_idx in np.nonzero(counts > 0)[0]:
+            count = int(counts[t_idx])
+            if count > cap_per_tile:
+                raise RuntimeError(
+                    f"tile {part[t_idx]}: {count} hits > cap_per_tile "
+                    f"{cap_per_tile}; raise cap_per_tile"
+                )
+            r0, c0 = part[t_idx]
+            ii, jj, r2v, dpv = _fetch_tile(
+                g_dev, c1_dev, pos_dev, jnp.int32(r0), jnp.int32(c0),
+                *scalars, cap=cap_per_tile, **common
             )
-        if total > cap_total:
-            raise RuntimeError(
-                f"batch produced {total} hits > cap_total {cap_total}; "
-                "raise cap_total or the threshold"
-            )
-        if total > 0:
-            bi = np.asarray(buf_i)[:total].astype(np.int64)
-            bj = np.asarray(buf_j)[:total].astype(np.int64)
-            keep = (bi < v) & (bj < v)  # drop padding-row pairs
-            bi, bj = bi[keep], bj[keep]
-            br2 = np.asarray(buf_r2)[:total][keep]
-            bdp = np.asarray(buf_dp)[:total][keep]
+            ii = np.asarray(ii)[:count].astype(np.int64) + r0
+            jj = np.asarray(jj)[:count].astype(np.int64) + c0
+            ok = (ii < v) & (jj < v)  # drop padding-row pairs
+            bi_l.append(ii[ok])
+            bj_l.append(jj[ok])
+            br2_l.append(np.asarray(r2v)[:count][ok])
+            bdp_l.append(np.asarray(dpv)[:count][ok])
+        if bi_l:
+            bi = np.concatenate(bi_l)
+            bj = np.concatenate(bj_l)
+            br2 = np.concatenate(br2_l)
+            bdp = np.concatenate(bdp_l)
+            total = len(bi)
         else:
             bi = bj = np.zeros((0,), dtype=np.int64)
             br2 = bdp = np.zeros((0,), dtype=np.float32)
+            total = 0
         if ckpt is not None:
             import os
 

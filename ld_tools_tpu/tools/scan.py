@@ -31,12 +31,10 @@ class ScanConfig:
     ld_measure: str
     ld_low_thres: float
     max_dist: object  # int or None
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     @staticmethod
     def from_args(args):
-        import jax
-
         chroms = tuple(
             c for c in args.chroms.split(",") if c and c.lower() != "all"
         )
@@ -46,8 +44,10 @@ class ScanConfig:
             ld_measure=args.ld_measure,
             ld_low_thres=args.ld_low_thres,
             max_dist=args.max_dist,
-            # the Pallas kernel is TPU-only; CPU runs use the XLA path
-            use_pallas=jax.default_backend() not in ("cpu",),
+            # XLA tiles fuse matmul+epilogue well for dense scan tiles
+            # and compile far faster through the remote-compile relay;
+            # the Pallas kernel stays the dense-matrix/bench path
+            use_pallas=False,
         )
 
 
