@@ -146,39 +146,45 @@ def _run(on_tpu_requested):
     )
 
 
-class _BenchTimeout(Exception):
-    pass
-
-
 def main():
     # A wedged/restarting TPU worker must not leave the driver without a
-    # metric line.  Device-side failures can HANG (not raise) through the
-    # RPC relay, so the TPU attempt runs under a SIGALRM deadline; on
-    # timeout or error the bench re-execs itself on the CPU backend.
+    # metric line.  Device-side failures through the RPC relay HANG in
+    # native code (uninterruptible by signals), so the TPU attempt runs
+    # in a SUBPROCESS under a host-side deadline; on timeout or failure
+    # the parent falls back to the CPU backend in-process.
     import os
-    import signal
+    import subprocess
 
-    if os.environ.get("TPU_LD_BENCH_CPU") == "1":
+    mode = os.environ.get("TPU_LD_BENCH_MODE", "")
+    if mode == "tpu-child":
+        _run(on_tpu_requested=True)
+        return
+    if mode == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
         _run(on_tpu_requested=False)
         return
 
-    def _on_alarm(signum, frame):
-        raise _BenchTimeout()
-
-    signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("TPU_LD_BENCH_DEADLINE_S", "900")))
+    deadline = int(os.environ.get("TPU_LD_BENCH_DEADLINE_S", "900"))
+    env = dict(os.environ, TPU_LD_BENCH_MODE="tpu-child")
     try:
-        _run(on_tpu_requested=True)
-        signal.alarm(0)
-    except BaseException as exc:  # noqa: BLE001 - incl. timeout/KeyboardInterrupt
-        signal.alarm(0)
-        _log(f"device path failed ({type(exc).__name__}: {exc}); "
-             "re-running on the CPU backend")
-        env = dict(os.environ, TPU_LD_BENCH_CPU="1")
-        os.execve(sys.executable, [sys.executable, __file__], env)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, timeout=deadline, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            return
+        reason = f"exit code {proc.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"deadline {deadline}s exceeded"
+    _log(f"TPU bench child failed ({reason}); re-running on CPU backend")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _run(on_tpu_requested=False)
 
 
 if __name__ == "__main__":
