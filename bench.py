@@ -166,7 +166,7 @@ def main():
         _run(on_tpu_requested=False)
         return
 
-    deadline = int(os.environ.get("TPU_LD_BENCH_DEADLINE_S", "900"))
+    deadline = int(os.environ.get("TPU_LD_BENCH_DEADLINE_S", "1800"))
     env = dict(os.environ, TPU_LD_BENCH_MODE="tpu-child")
     try:
         proc = subprocess.run(
