@@ -78,14 +78,17 @@ def _run(on_tpu_requested):
 
         @functools.partial(jax.jit, static_argnames=("reps",))
         def tri_loop(g, c1, reps):
-            # data-dependent chaining defeats upstream memoization; the
-            # XOR with an always-0 mask is a no-op on the values
+            # data-dependent chaining defeats upstream memoization and
+            # in-program CSE; chaining through the small (V, 1) c1 vector
+            # (acc * 0.0 is not foldable under float semantics) keeps the
+            # loop body cheap — rewriting the 50 MB G per iteration cost
+            # ~7x in compile time and measurable runtime
             def body(i, acc):
-                gg = jnp.bitwise_xor(g, (acc > 1e30).astype(jnp.int8))
+                c1c = c1 + acc * 0.0
                 # the headline metric is all-pairs r^2, so D' output
                 # (and its HBM writes) is elided
                 r2, _ = _ld_triangle_call(
-                    gg, c1, bi, bj, n_arr,
+                    g, c1c, bi, bj, n_arr,
                     block_m=block, block_n=block, interpret=False,
                     want_dprime=False,
                 )

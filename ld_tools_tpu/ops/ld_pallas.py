@@ -62,15 +62,25 @@ def _tri_kernel(
     c2_ref,  # (BN, 1) f32 alt counts of cols
     r2_ref,  # out (BM, BN) f32
     dp_ref=None,  # optional out (BM, BN) f32
+    *,
+    mxu_dtype=jnp.bfloat16,
 ):
-    a = a_ref[:].astype(jnp.bfloat16)
-    b = b_ref[:].astype(jnp.bfloat16)
-    c_ab = jax.lax.dot_general(
-        a,
-        b,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if mxu_dtype == jnp.int8:
+        # v5e+ runs int8 x int8 -> int32 on the MXU at 2x the bf16 rate;
+        # 0/1 counts are exact in either form
+        c_ab = jax.lax.dot_general(
+            a_ref[:],
+            b_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        c_ab = jax.lax.dot_general(
+            a_ref[:].astype(mxu_dtype),
+            b_ref[:].astype(mxu_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     n = n_ref[0].astype(jnp.float32)
     inv_n = 1.0 / n
     c1 = c1_ref[:]          # (BM, 1) broadcasts down columns
@@ -95,11 +105,13 @@ def _triangle_coords(nb: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_n", "interpret", "want_dprime"),
+    static_argnames=(
+        "block_m", "block_n", "interpret", "want_dprime", "mxu_dtype",
+    ),
 )
 def _ld_triangle_call(
     g_pad, c1_pad, bi, bj, n_arr, *, block_m, block_n, interpret,
-    want_dprime=True,
+    want_dprime=True, mxu_dtype=jnp.bfloat16,
 ):
     v_pad, h_pad = g_pad.shape
     n_blocks = bi.shape[0]
@@ -143,7 +155,7 @@ def _ld_triangle_call(
         (block_m + block_n) * h_pad + n_out * block_m * block_n * 4
     )
     out = pl.pallas_call(
-        _tri_kernel,
+        functools.partial(_tri_kernel, mxu_dtype=mxu_dtype),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
@@ -168,6 +180,7 @@ def ld_triangle_matrix(
     block_n: int = 256,
     interpret: bool = False,
     want_dprime: bool = True,
+    mxu_dtype=jnp.bfloat16,
 ):
     """All-pairs r^2/D' for G (V, H) {0,1}: lower-triangle blocks only.
 
@@ -200,6 +213,7 @@ def ld_triangle_matrix(
         block_n=block_n,
         interpret=interpret,
         want_dprime=want_dprime,
+        mxu_dtype=mxu_dtype,
     )
     return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
 
