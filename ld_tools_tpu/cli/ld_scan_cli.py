@@ -25,6 +25,7 @@ License: MIT
     "measure": "{r_square, d_prime} LD measure for the threshold",
     "thres": "Lower LD threshold",
     "max_dist": "Maximum pair distance in bp (default: unlimited)",
+    "checkpoint": "Folder for per-batch scan checkpoints (resume after a kill)",
 }
 
 TEXT_RU = {
@@ -47,6 +48,7 @@ TEXT_RU = {
     "measure": "{r_square, d_prime} Мера LD для порога",
     "thres": "Нижний порог LD",
     "max_dist": "Максимальная дистанция пары в bp (по умолчанию: без лимита)",
+    "checkpoint": "Папка для почанковых чекпоинтов скана (возобновление после сбоя)",
 }
 
 
@@ -92,6 +94,10 @@ def build_parser(ver: str, text: dict) -> ArgumentParser:
     parser.add_argument(
         "-w", "--max-dist", metavar="[None]", dest="max_dist", type=int,
         help=text["max_dist"],
+    )
+    parser.add_argument(
+        "-k", "--checkpoint-dir", metavar="[None]", dest="checkpoint_dir",
+        type=str, help=text["checkpoint"],
     )
     return parser
 

@@ -31,6 +31,7 @@ class ScanConfig:
     ld_measure: str
     ld_low_thres: float
     max_dist: object  # int or None
+    checkpoint_dir: object = None
     use_pallas: bool = False
 
     @staticmethod
@@ -44,6 +45,7 @@ class ScanConfig:
             ld_measure=args.ld_measure,
             ld_low_thres=args.ld_low_thres,
             max_dist=args.max_dist,
+            checkpoint_dir=getattr(args, "checkpoint_dir", None),
             # XLA tiles fuse matmul+epilogue well for dense scan tiles
             # and compile far faster through the remote-compile relay;
             # the Pallas kernel stays the dense-matrix/bench path
@@ -73,6 +75,7 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
         max_dist=config.max_dist,
         use_pallas=config.use_pallas,
         exact=True,
+        checkpoint_dir=config.checkpoint_dir,
     )
     makedirs(config.trg_dir_path)
     name = (

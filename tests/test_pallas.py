@@ -37,3 +37,22 @@ def test_triangle_kernel_monomorphic_padding(rng):
         round(float(np.asarray(r2)[3, 1]), 4)
         - oracle_ld(list(G[3]), list(G[1]))["r_square"]
     ) <= 1e-4
+
+
+def test_triangle_kernel_int8_mode(rng):
+    import jax.numpy as jnp
+
+    G = random_haplotypes(rng, 40, 120, maf_low=0.05, maf_high=0.95)
+    r2_bf, dp_bf = ld_triangle_matrix(
+        G, interpret=True, block_m=128, block_n=128
+    )
+    r2_i8, dp_i8 = ld_triangle_matrix(
+        G, interpret=True, block_m=128, block_n=128, mxu_dtype=jnp.int8
+    )
+    tri = np.tril_indices(40, 0)
+    np.testing.assert_array_equal(
+        np.asarray(r2_bf)[tri], np.asarray(r2_i8)[tri]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dp_bf)[tri], np.asarray(dp_i8)[tri]
+    )
