@@ -22,6 +22,13 @@ class ChromData:
     def __init__(self, intgen_dir_path: str, chrom: str):
         self.chrom = chrom
         self._dir = intgen_dir_path
+        if not pack.is_packed(intgen_dir_path, chrom):
+            raise FileNotFoundError(
+                f"chromosome {chrom} is not packed under "
+                f"{pack.store_root(intgen_dir_path)}; place {chrom}.vcf.gz "
+                f"in {intgen_dir_path} and run the prep stage (any tool "
+                "without -f, or scripts/prep_data.py)"
+            )
         meta = pack.read_meta(intgen_dir_path, chrom)
         self.n_variants = meta["n_variants"]
         self.n_haplotypes = meta["n_haplotypes"]

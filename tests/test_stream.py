@@ -103,3 +103,20 @@ def test_scan_checkpoint_resume(rng, tmp_path):
     )
     np.testing.assert_array_equal(first.i, clean.i)
     np.testing.assert_array_equal(first.r_square, clean.r_square)
+
+
+def test_scan_pallas_tiles_interpret(rng):
+    """The Pallas tile path (use_pallas=True, interpret) must agree with
+    the XLA tile path."""
+    G = random_haplotypes(rng, 48, 80, maf_low=0.1, maf_high=0.9)
+    a = stream_threshold_scan(
+        G, measure="r_square", thres=0.4, band=16, chunk=16,
+        use_pallas=False, exact=False,
+    )
+    b = stream_threshold_scan(
+        G, measure="r_square", thres=0.4, band=16, chunk=16,
+        use_pallas=True, interpret=True, exact=False,
+    )
+    np.testing.assert_array_equal(a.i, b.i)
+    np.testing.assert_array_equal(a.j, b.j)
+    np.testing.assert_allclose(a.r_square, b.r_square, atol=1e-6)
