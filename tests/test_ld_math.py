@@ -164,3 +164,24 @@ def test_exact_all_pairs_blocked_path(rng):
     np.testing.assert_array_equal(
         whole.d_prime_is_int_zero, blocked.d_prime_is_int_zero
     )
+
+
+def test_exact_fuzz_many_configs(rng):
+    """Randomized sweep: exact path vs oracle across shapes, frequencies,
+    and odd haplotype counts (including monomorphic-heavy regimes)."""
+    from ld_tools_tpu.ops import exact_ld_from_counts
+
+    for _ in range(25):
+        v = int(rng.integers(2, 12))
+        h = int(rng.integers(2, 400))
+        lo = float(rng.uniform(0, 0.5))
+        hi = float(rng.uniform(lo, 1.0))
+        G = random_haplotypes(rng, v, h, maf_low=lo, maf_high=hi)
+        c_ab = G.astype(np.int64) @ G.T.astype(np.int64)
+        c1 = G.sum(axis=1)
+        exact = exact_ld_from_counts(c_ab, c1, c1, h)
+        i = int(rng.integers(v))
+        j = int(rng.integers(v))
+        assert exact.pair(i, j) == oracle_ld(list(G[i]), list(G[j])), (
+            v, h, i, j,
+        )

@@ -312,3 +312,20 @@ def test_triangle_fast_table_matches_object_path(env, tmp_path):
     pa = os.path.join(trg_c, "query_LD_matr", "query_chr5_d.tsv")
     pb = os.path.join(trg_d, "query_LD_matr", "query_chr5_d.tsv")
     assert open(pa).read() == open(pb).read()
+
+
+def test_triangle_dprime_measure_matches_oracle(env, tmp_path):
+    trg = str(tmp_path)
+    triangle.run(_triangle_args(env, trg, measure="d_prime",
+                                matrix_type="table"))
+    tsv_path = os.path.join(trg, "query_LD_matr", "query_chr5_d.tsv")
+    with open(tsv_path) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0].startswith("##General\tinfo:\td_prime\tchr5")
+    rsids = lines[2].split("\t")[2:]
+    gl = _cohort_lists(env, "5", rsids)
+    matrix = [line.split("\t") for line in lines[4:]]
+    for i, row in enumerate(matrix):
+        for j in range(i):
+            expected = oracle_ld(gl[rsids[i]], gl[rsids[j]])
+            assert row[2 + j] == str(expected["d_prime"]), (i, j)
