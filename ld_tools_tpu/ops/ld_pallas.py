@@ -33,8 +33,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _ld_epilogue(c_ab, c1_col, c2_row, inv_n, n):
-    """Branchless D'/r^2 from counts (mirrors ld_math.ld_from_counts)."""
+def _ld_epilogue(c_ab, c1_col, c2_row, inv_n, n, want_dprime=True):
+    """Branchless D'/r^2 from counts (mirrors ld_math.ld_from_counts).
+
+    With ``want_dprime=False`` the D' divide is skipped: its only role in
+    r^2 is the ``d_prime == 0`` sentinel, which is equivalent to
+    ``den == 0 or d == 0`` (d/den cannot underflow to exactly 0 here --
+    |d| >= ~1e-10 when nonzero while den <= 0.25, so the quotient stays
+    >= ~4e-10, far above f32 subnormal flush).
+    """
     p_ab = c_ab * inv_n
     p1 = c1_col * inv_n
     q1 = (n - c1_col) * inv_n
@@ -45,9 +52,13 @@ def _ld_epilogue(c_ab, c1_col, c2_row, inv_n, n):
     den_neg = jnp.maximum(-(p1 * p2), -(q1 * q2))
     den = jnp.where(d >= 0, den_pos, den_neg)
     den_zero = den == 0.0
-    d_prime = jnp.where(den_zero, 0.0, d / jnp.where(den_zero, 1.0, den))
+    if want_dprime:
+        d_prime = jnp.where(den_zero, 0.0, d / jnp.where(den_zero, 1.0, den))
+        dp_zero = d_prime == 0.0
+    else:
+        d_prime = None
+        dp_zero = jnp.logical_or(den_zero, d == 0.0)
     r2_den = p1 * q1 * p2 * q2
-    dp_zero = d_prime == 0.0
     r_square = jnp.where(dp_zero, 0.0, (d * d) / jnp.where(dp_zero, 1.0, r2_den))
     return r_square, d_prime
 
@@ -85,7 +96,72 @@ def _tri_kernel(
     inv_n = 1.0 / n
     c1 = c1_ref[:]          # (BM, 1) broadcasts down columns
     c2 = c2_ref[:].T        # (1, BN) broadcasts across rows
-    r2, dp = _ld_epilogue(c_ab, c1, c2, inv_n, n)
+    r2, dp = _ld_epilogue(c_ab, c1, c2, inv_n, n,
+                          want_dprime=dp_ref is not None)
+    r2_ref[:] = r2
+    if dp_ref is not None:
+        dp_ref[:] = dp
+
+
+def _tri_kernel_packed(
+    bi_ref,  # scalar-prefetch: block-row index per grid step
+    bj_ref,  # scalar-prefetch: block-col index per grid step
+    n_ref,   # scalar-prefetch: [n_haplotypes]
+    a_ref,   # (BM, HP8) uint8 bitpacked rows block (8 haplotypes/byte)
+    b_ref,   # (BN, HP8) uint8 bitpacked cols block
+    c1_ref,  # (BM, 1) f32 alt counts of rows
+    c2_ref,  # (BN, 1) f32 alt counts of cols
+    r2_ref,  # out (BM, BN) f32
+    *rest,   # optional dp out (BM, BN) f32, then a-planes VMEM scratch
+):
+    """Bitpacked variant of _tri_kernel: HBM traffic drops 8x and the MXU
+    runs int8 x int8 -> int32 at 2x the bf16 rate.
+
+    The haplotype inner product decomposes bit-plane-wise: with byte k of a
+    row holding haplotypes 8k..8k+7 (any fixed bit order shared by both
+    operands), sum_h a[h]*b[h] == sum_{s=0..7} dot((a>>s)&1, (b>>s)&1) over
+    the byte axis.  No bit interleaving/reshape is needed -- 8 shift-mask
+    VPU ops feed 8 MXU matmuls of K=H/8 each (identical total MACs).
+
+    The triangle walk is row-major, so the rows block is stationary across
+    each i-run; its unpacked bit-planes live in VMEM scratch, recomputed
+    only when bi changes (the input DMA for the unchanged block is already
+    skipped by the pipeline) -- this halves the VPU unpack work.
+    """
+    if len(rest) == 2:
+        dp_ref, a_planes = rest
+    else:
+        (a_planes,) = rest
+        dp_ref = None
+    hp8 = a_ref.shape[1]
+    k = pl.program_id(0)
+    prev = jnp.maximum(k - 1, 0)
+    a_is_stale = jnp.logical_or(k == 0, bi_ref[k] != bi_ref[prev])
+
+    @pl.when(a_is_stale)
+    def _unpack_a():
+        a = a_ref[:].astype(jnp.int32)
+        for shift in range(8):
+            a_planes[:, shift * hp8:(shift + 1) * hp8] = (
+                (a >> shift) & 1
+            ).astype(jnp.int8)
+
+    b = b_ref[:].astype(jnp.int32)
+    c_ab = None
+    for shift in range(8):
+        bb = ((b >> shift) & 1).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            a_planes[:, shift * hp8:(shift + 1) * hp8],
+            bb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        c_ab = part if c_ab is None else c_ab + part
+    c_ab = c_ab.astype(jnp.float32)
+    n = n_ref[0].astype(jnp.float32)
+    inv_n = 1.0 / n
+    r2, dp = _ld_epilogue(c_ab, c1_ref[:], c2_ref[:].T, inv_n, n,
+                          want_dprime=dp_ref is not None)
     r2_ref[:] = r2
     if dp_ref is not None:
         dp_ref[:] = dp
@@ -115,8 +191,13 @@ def _ld_triangle_call(
 ):
     v_pad, h_pad = g_pad.shape
     n_blocks = bi.shape[0]
+    if mxu_dtype == "packed":
+        scratch_shapes = [pltpu.VMEM((block_m, 8 * h_pad), jnp.int8)]
+    else:
+        scratch_shapes = []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
+        scratch_shapes=scratch_shapes,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(
@@ -150,12 +231,18 @@ def _ld_triangle_call(
         * (2 if want_dprime else 1),
     )
     n_out = 2 if want_dprime else 1
-    flops = 2 * n_blocks * block_m * block_n * h_pad
+    # for packed input h_pad is the BYTE width: 8 haplotype MACs per byte
+    h_macs = h_pad * 8 if mxu_dtype == "packed" else h_pad
+    flops = 2 * n_blocks * block_m * block_n * h_macs
     bytes_accessed = n_blocks * (
         (block_m + block_n) * h_pad + n_out * block_m * block_n * 4
     )
+    if mxu_dtype == "packed":
+        kernel = _tri_kernel_packed
+    else:
+        kernel = functools.partial(_tri_kernel, mxu_dtype=mxu_dtype)
     out = pl.pallas_call(
-        functools.partial(_tri_kernel, mxu_dtype=mxu_dtype),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((v_pad, v_pad), jnp.float32),
@@ -216,6 +303,62 @@ def ld_triangle_matrix(
         mxu_dtype=mxu_dtype,
     )
     return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
+
+
+def ld_triangle_matrix_packed(
+    gp,
+    n_haplotypes: int,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool = False,
+    want_dprime: bool = True,
+):
+    """All-pairs r^2/D' straight from the BITPACKED store matrix.
+
+    ``gp`` is the (V, ceil(H/8)) uint8 matrix exactly as ingest writes it
+    (ingest/pack.py: np.packbits over haplotype columns) -- the store
+    format IS the kernel format, so HBM holds 8x fewer input bytes than
+    the int8 path and the MXU runs at its int8 rate.  Elementwise-matches
+    ld_triangle_matrix on the unpacked matrix (padding bits are zero, so
+    they add nothing to any count).
+    """
+    gp = jnp.asarray(gp, dtype=jnp.uint8)
+    v, hp8 = gp.shape
+    assert hp8 * 8 >= n_haplotypes
+    block_m = min(block_m, _round_up(v, 128))
+    block_n = min(block_n, _round_up(v, 128))
+    v_pad = _round_up(v, max(block_m, block_n))
+    hp8_pad = _round_up(hp8, 128)
+    gp_pad = jnp.zeros((v_pad, hp8_pad), dtype=jnp.uint8)
+    gp_pad = jax.lax.dynamic_update_slice(gp_pad, gp, (0, 0))
+    c1 = jnp.sum(
+        jax.lax.population_count(gp_pad).astype(jnp.float32),
+        axis=1,
+        keepdims=True,
+    )
+    nb = v_pad // block_m
+    bi, bj = _triangle_coords(nb)
+    n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
+    r2, dp = _ld_triangle_call(
+        gp_pad,
+        c1,
+        jnp.asarray(bi),
+        jnp.asarray(bj),
+        n_arr,
+        block_m=block_m,
+        block_n=block_n,
+        interpret=interpret,
+        want_dprime=want_dprime,
+        mxu_dtype="packed",
+    )
+    return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
+
+
+def pack_rows(G) -> np.ndarray:
+    """Bitpack an int8 {0,1} (V, H) matrix to (V, ceil(H/8)) uint8, the
+    same layout ingest/pack.py writes (np.packbits, MSB-first)."""
+    return np.packbits(np.asarray(G, dtype=np.uint8), axis=1)
 
 
 def ld_band_pallas(

@@ -23,6 +23,7 @@ import jax
 
 
 # Peak numbers per chip generation (dense bf16 matmul TFLOP/s, HBM GB/s).
+# int8 matmuls run the MXU at 2x the bf16 rate on every listed generation.
 CHIP_PEAKS = {
     "v5e": (197.0, 819.0),
     "v5p": (459.0, 2765.0),
@@ -30,6 +31,7 @@ CHIP_PEAKS = {
     "v6e": (918.0, 1640.0),
 }
 DEFAULT_CHIP = "v5e"
+INT8_MXU_SPEEDUP = 2.0
 
 
 @contextlib.contextmanager
@@ -67,6 +69,7 @@ class Roofline:
     n_haplotypes_padded: int
     bytes_moved: float
     chip: str = DEFAULT_CHIP
+    int8_mxu: bool = False
 
     @property
     def flops(self) -> float:
@@ -76,6 +79,8 @@ class Roofline:
         peak_tflops, peak_gbps = CHIP_PEAKS.get(
             self.chip, CHIP_PEAKS[DEFAULT_CHIP]
         )
+        if self.int8_mxu:
+            peak_tflops *= INT8_MXU_SPEEDUP
         tflops = self.flops / seconds / 1e12
         gbps = self.bytes_moved / seconds / 1e9
         compute_bound_s = self.flops / (peak_tflops * 1e12)

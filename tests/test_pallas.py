@@ -39,6 +39,51 @@ def test_triangle_kernel_monomorphic_padding(rng):
     ) <= 1e-4
 
 
+def test_triangle_kernel_bitpacked_mode(rng):
+    """The bitpacked kernel (store bytes in, int8 MXU bit-plane matmuls)
+    must match the unpacked kernel elementwise, including monomorphic
+    sentinel rows and the r2-only epilogue specialization."""
+    from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix_packed, pack_rows
+
+    # 150 haplotypes: not a multiple of 8, exercises partial-byte padding
+    G = random_haplotypes(rng, 70, 150, maf_low=0.02, maf_high=0.98)
+    G[4] = 0
+    G[9] = 1
+    r2_ref, dp_ref = ld_triangle_matrix(
+        G, interpret=True, block_m=128, block_n=128
+    )
+    gp = pack_rows(G)
+    assert gp.shape == (70, (150 + 7) // 8)
+    r2_p, dp_p = ld_triangle_matrix_packed(
+        gp, 150, interpret=True, block_m=128, block_n=128
+    )
+    r2_only, none_dp = ld_triangle_matrix_packed(
+        gp, 150, interpret=True, block_m=128, block_n=128, want_dprime=False
+    )
+    assert none_dp is None
+    tri = np.tril_indices(70, 0)
+    np.testing.assert_array_equal(np.asarray(r2_ref)[tri], np.asarray(r2_p)[tri])
+    np.testing.assert_array_equal(np.asarray(dp_ref)[tri], np.asarray(dp_p)[tri])
+    np.testing.assert_array_equal(
+        np.asarray(r2_ref)[tri], np.asarray(r2_only)[tri]
+    )
+
+
+def test_triangle_kernel_bitpacked_scratch_reuse(rng):
+    """Multi-row-block grids revisit the a-block scratch across bi changes;
+    a 3x3-block triangle exercises stale/fresh transitions."""
+    from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix_packed, pack_rows
+
+    v, h = 3 * 128, 96
+    G = random_haplotypes(rng, v, h, maf_low=0.05, maf_high=0.95)
+    r2_ref, _ = ld_triangle_matrix(G, interpret=True, block_m=128, block_n=128)
+    r2_p, _ = ld_triangle_matrix_packed(
+        pack_rows(G), h, interpret=True, block_m=128, block_n=128
+    )
+    tri = np.tril_indices(v, 0)
+    np.testing.assert_array_equal(np.asarray(r2_ref)[tri], np.asarray(r2_p)[tri])
+
+
 def test_triangle_kernel_int8_mode(rng):
     import jax.numpy as jnp
 
