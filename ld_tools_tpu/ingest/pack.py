@@ -112,6 +112,60 @@ def read_genotypes(intgen_dir_path: str, chrom: str, n_haplotypes: int) -> np.nd
     return np.unpackbits(packed, axis=1, count=n_haplotypes).astype(np.int8)
 
 
+# popcount-per-byte lookup, for alt-allele counts straight off packed rows
+_POPCOUNT8 = np.array([bin(b).count("1") for b in range(256)], dtype=np.uint8)
+
+
+def popcounts(packed: np.ndarray, chunk_rows: int = 65536) -> np.ndarray:
+    """Per-row set-bit counts of a bitpacked (V, B) uint8 matrix.
+
+    Equals the alt-allele counts of the unpacked rows (padding bits are
+    zero), without materializing the 8x larger unpacked matrix.
+    """
+    out = np.empty((packed.shape[0],), dtype=np.int64)
+    for s in range(0, packed.shape[0], chunk_rows):
+        block = packed[s : s + chunk_rows]
+        out[s : s + chunk_rows] = (
+            _POPCOUNT8[block].sum(axis=1, dtype=np.int64)
+        )
+    return out
+
+
+def pack_columns(
+    packed: np.ndarray,
+    cols: np.ndarray,
+    n_haplotypes: int,
+    chunk_rows: int = 16384,
+) -> np.ndarray:
+    """Repack a haplotype-COLUMN subset of a bitpacked matrix.
+
+    Cohort selection picks bit columns (2i, 2i+1 per sample,
+    store.haplotype_columns); a byte matrix cannot be column-sliced at bit
+    granularity, so the subset is unpacked and repacked in row chunks —
+    O(V*H) once per run, never holding more than chunk_rows unpacked rows.
+    Returns (V, ceil(len(cols)/8)) uint8.
+    """
+    cols = np.asarray(cols, dtype=np.int64)
+    v = packed.shape[0]
+    out = np.empty((v, -(-len(cols) // 8)), dtype=np.uint8)
+    for s in range(0, v, chunk_rows):
+        block = np.unpackbits(
+            packed[s : s + chunk_rows], axis=1, count=n_haplotypes
+        )
+        out[s : s + chunk_rows] = np.packbits(block[:, cols], axis=1)
+    return out
+
+
+def unpack_rows(
+    packed: np.ndarray, rows: np.ndarray, n_haplotypes: int
+) -> np.ndarray:
+    """Unpack selected ROWS of a bitpacked matrix to int8 {0,1}."""
+    rows = np.asarray(rows, dtype=np.int64)
+    return np.unpackbits(
+        np.ascontiguousarray(packed[rows]), axis=1, count=n_haplotypes
+    ).astype(np.int8)
+
+
 def read_sidecar(intgen_dir_path: str, chrom: str, name: str) -> np.ndarray:
     return np.load(
         os.path.join(chrom_dir(intgen_dir_path, chrom), f"{name}.npy")

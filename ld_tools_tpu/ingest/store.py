@@ -69,6 +69,27 @@ class ChromData:
             self._packed[rows], axis=1, count=self.n_haplotypes
         ).astype(np.int8)
 
+    @property
+    def packed(self) -> np.ndarray:
+        """(V, ceil(H/8)) uint8 bitpacked matrix, memory-mapped."""
+        if self._packed is None:
+            self._packed = pack.read_packed(self._dir, self.chrom)
+        return self._packed
+
+    def cohort_packed(self, sample_names):
+        """Bitpacked cohort matrix + its haplotype count.
+
+        Full-cohort selections return the store bytes as-is (zero copy);
+        subsets are repacked in row chunks (pack.pack_columns).
+        """
+        cols = self.haplotype_columns(sample_names)
+        n = len(cols)
+        if n == self.n_haplotypes and np.array_equal(
+            cols, np.arange(self.n_haplotypes)
+        ):
+            return self.packed, n
+        return pack.pack_columns(self.packed, cols, self.n_haplotypes), n
+
     def annotation(self, name: str) -> np.ndarray:
         """'ref' | 'alt' | 'vt' sidecar."""
         if name not in self._ann:

@@ -429,3 +429,93 @@ def _band_kernel(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref, dp_ref):
     r2, dp = _ld_epilogue(c_ab, c1_ref[:], c2_ref[:].T, inv_n, n)
     r2_ref[:] = r2
     dp_ref[:] = dp
+
+
+def _band_kernel_packed(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref,
+                        dp_ref, a_planes):
+    """Bitpacked band kernel: same bit-plane decomposition as
+    _tri_kernel_packed.  The grid sweeps columns fastest, so the rows
+    block is stationary per i; its unpacked planes are cached in scratch
+    and recomputed only at j == 0."""
+    hp8 = a_ref.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _unpack_a():
+        a = a_ref[:].astype(jnp.int32)
+        for shift in range(8):
+            a_planes[:, shift * hp8:(shift + 1) * hp8] = (
+                (a >> shift) & 1
+            ).astype(jnp.int8)
+
+    b = b_ref[:].astype(jnp.int32)
+    c_ab = None
+    for shift in range(8):
+        bb = ((b >> shift) & 1).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            a_planes[:, shift * hp8:(shift + 1) * hp8],
+            bb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        c_ab = part if c_ab is None else c_ab + part
+    n = n_ref[0, 0].astype(jnp.float32)
+    r2, dp = _ld_epilogue(c_ab.astype(jnp.float32), c1_ref[:], c2_ref[:].T,
+                          1.0 / n, n)
+    r2_ref[:] = r2
+    dp_ref[:] = dp
+
+
+def ld_band_pallas_packed(
+    gp_rows,
+    gp_cols,
+    c1_rows,
+    c1_all,
+    n_haplotypes,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Dense band sweep over BITPACKED blocks (uint8, 8 haplotypes/byte).
+
+    Same contract as ld_band_pallas but inputs stay in the store's packed
+    byte format end-to-end; shapes must be pre-padded to block multiples
+    on the variant axes and to a 128-multiple byte width.
+    """
+    vr, hp8 = gp_rows.shape
+    va, _ = gp_cols.shape
+    grid = (vr // block_m, va // block_n)
+    return pl.pallas_call(
+        _band_kernel_packed,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, hp8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, hp8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((vr, va), jnp.float32),
+            jax.ShapeDtypeStruct((vr, va), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_m, 8 * hp8), jnp.int8)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vr * va * hp8 * 8,
+            bytes_accessed=(vr + va) * hp8 + 2 * vr * va * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(gp_rows, gp_cols, c1_rows, c1_all,
+      jnp.asarray([[n_haplotypes]], dtype=jnp.int32))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ld_tools_tpu.ops.exact import exact_ld_elementwise, round4
-from ld_tools_tpu.ops.ld_pallas import ld_band_pallas
+from ld_tools_tpu.ops.ld_pallas import ld_band_pallas, ld_band_pallas_packed
 from ld_tools_tpu.utils.logging import get_logger
 
 log = get_logger("ops.ld_stream")
@@ -58,9 +58,14 @@ class ScanHits:
 
 def _tile_ld(
     g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
-    *, band, chunk, use_pallas, interpret, sel, use_dist,
+    *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
 ):
-    """LD + keep-mask for one tile sliced from HBM-resident G."""
+    """LD + keep-mask for one tile sliced from HBM-resident G.
+
+    With ``packed=True`` the resident matrix is the store's bitpacked
+    uint8 (V, ceil(H/8)) form: 8x less HBM and the counts run as int8
+    bit-plane matmuls (see ld_pallas._tri_kernel_packed for the algebra).
+    """
     g_rows = jax.lax.dynamic_slice(
         g_dev, (row0, 0), (band, g_dev.shape[1])
     )
@@ -70,7 +75,13 @@ def _tile_ld(
     c1_rows = jax.lax.dynamic_slice(c1_dev, (row0, 0), (band, 1))
     c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
 
-    if use_pallas:
+    if packed and use_pallas:
+        r2, dp = ld_band_pallas_packed(
+            g_rows, g_cols, c1_rows, c1_cols, n_hap,
+            block_m=min(256, band), block_n=min(512, chunk),
+            interpret=interpret,
+        )
+    elif use_pallas:
         r2, dp = ld_band_pallas(
             g_rows, g_cols, c1_rows, c1_cols, n_hap,
             block_m=min(256, band), block_n=min(512, chunk),
@@ -79,12 +90,26 @@ def _tile_ld(
     else:
         from ld_tools_tpu.ops.ld_math import ld_from_counts
 
-        c_ab = jax.lax.dot_general(
-            g_rows.astype(jnp.bfloat16),
-            g_cols.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if packed:
+            a = g_rows.astype(jnp.int32)
+            b = g_cols.astype(jnp.int32)
+            c_ab = None
+            for shift in range(8):
+                part = jax.lax.dot_general(
+                    ((a >> shift) & 1).astype(jnp.int8),
+                    ((b >> shift) & 1).astype(jnp.int8),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                c_ab = part if c_ab is None else c_ab + part
+            c_ab = c_ab.astype(jnp.float32)
+        else:
+            c_ab = jax.lax.dot_general(
+                g_rows.astype(jnp.bfloat16),
+                g_cols.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         out = ld_from_counts(c_ab, c1_rows[:, 0], c1_cols[:, 0], n_hap)
         r2, dp = out["r_square"], out["d_prime"]
 
@@ -105,11 +130,12 @@ def _tile_ld(
     jax.jit,
     static_argnames=(
         "band", "chunk", "use_pallas", "interpret", "sel", "use_dist",
+        "packed",
     ),
 )
 def _count_tiles_batch(
     g_dev, c1_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev, max_dist,
-    *, band, chunk, use_pallas, interpret, sel, use_dist,
+    *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
 ):
     """Pass 1: per-tile hit COUNTS for a batch of tiles, one device call.
 
@@ -126,6 +152,7 @@ def _count_tiles_batch(
             g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
+            packed=packed,
         )
         keep &= is_valid
         return None, jnp.sum(keep.astype(jnp.int32))
@@ -138,30 +165,45 @@ def _count_tiles_batch(
     jax.jit,
     static_argnames=(
         "band", "chunk", "cap", "use_pallas", "interpret", "sel",
-        "use_dist",
+        "use_dist", "packed",
     ),
 )
-def _fetch_tile(
-    g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
+def _fetch_tiles_batch(
+    g_dev, c1_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
     *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
+    packed=False,
 ):
-    """Pass 2: compacted hits for ONE tile known to contain some."""
-    r2, dp, keep, _, _ = _tile_ld(
-        g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
-        max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
-        interpret=interpret, sel=sel, use_dist=use_dist,
-    )
-    ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
-    safe_i = jnp.maximum(ii, 0)
-    safe_j = jnp.maximum(jj, 0)
-    return ii, jj, r2[safe_i, safe_j], dp[safe_i, safe_j]
+    """Pass 2: compacted hits for a BATCH of tiles known to contain some.
+
+    One device program per cap bucket (lax.scan over tiles) instead of one
+    dispatch per tile: through an RPC-relayed device both the ~0.5 s
+    per-call latency and the fixed-size result buffers (cap entries per
+    tile, with cap sized from pass 1's counts) would otherwise dominate
+    the whole scan.
+    """
+
+    def step(_, tile):
+        row0, col0 = tile
+        r2, dp, keep, _, _ = _tile_ld(
+            g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
+            max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
+            interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
+        )
+        ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
+        safe_i = jnp.maximum(ii, 0)
+        safe_j = jnp.maximum(jj, 0)
+        return None, (ii, jj, r2[safe_i, safe_j], dp[safe_i, safe_j])
+
+    _, out = jax.lax.scan(step, None, (r0s, c0s))
+    return out  # each (n_tiles, cap)
 
 
 def stream_threshold_scan(
-    G,
+    G=None,
     pos=None,
     n_haplotypes=None,
     *,
+    G_packed=None,
     measure: str = "r_square",
     thres: float,
     max_dist=None,
@@ -176,32 +218,52 @@ def stream_threshold_scan(
 ) -> ScanHits:
     """Scan all lower-triangle pairs of G; keep measure >= thres.
 
+    Input is either ``G`` (int8 (V, H) {0,1}) or ``G_packed`` (the store's
+    bitpacked uint8 (V, ceil(H/8)) with ``n_haplotypes`` — preferred: 8x
+    less HBM and int8-MXU bit-plane counts, so a whole-genome scan keeps
+    every chromosome's matrix resident).
+
     The device filter runs one 4-dp rounding step below ``thres`` so f32
     noise can never drop a pair the exact math keeps; exact=True then
     re-finishes hits in f64 and re-filters on the *rounded* values,
     matching the reference's post-rounding threshold semantics
     (ld_area.py:248).
     """
-    G = np.asarray(G, dtype=np.int8)
-    v, h = G.shape
-    if n_haplotypes is None:
-        n_haplotypes = h
+    from ld_tools_tpu.ingest import pack as _pack
+
+    packed = G_packed is not None
+    if packed:
+        Gp = np.ascontiguousarray(G_packed, dtype=np.uint8)
+        if n_haplotypes is None:
+            raise ValueError("G_packed requires n_haplotypes")
+        v = Gp.shape[0]
+        h = int(n_haplotypes)
+        c1_full = _pack.popcounts(Gp)
+    else:
+        G = np.asarray(G, dtype=np.int8)
+        v, h = G.shape
+        if n_haplotypes is None:
+            n_haplotypes = h
+        c1_full = G.astype(np.int64).sum(axis=1)
     if pos is None:
         pos = np.arange(v, dtype=np.int64)
     pos = np.asarray(pos, dtype=np.int64)
     band = min(band, _round_up(v, 256))
     chunk = min(chunk, _round_up(v, 512))
-    h_pad = _round_up(h, 128)
+    h_pad = _round_up(-(-h // 8) if packed else h, 128)
     # pad V so every dynamic slice stays in bounds
     v_pad = _round_up(v, max(band, chunk)) + max(band, chunk)
     sel = 0 if measure == "r_square" else 1
     margin_thres = float(thres) - 5e-4
     use_dist = max_dist is not None
 
-    g_host = np.zeros((v_pad, h_pad), dtype=np.int8)
-    g_host[:v, :h] = G
+    g_host = np.zeros((v_pad, h_pad), dtype=np.uint8 if packed else np.int8)
+    if packed:
+        g_host[:v, : Gp.shape[1]] = Gp
+    else:
+        g_host[:v, :h] = G
     c1_host = np.zeros((v_pad, 1), dtype=np.float32)
-    c1_host[:v, 0] = G.astype(np.int64).sum(axis=1)
+    c1_host[:v, 0] = c1_full
     # padding positions land far away so the dist filter kills them
     # (int32-safe sentinel: JAX defaults to 32-bit ints)
     pos_host = np.full((v_pad,), -(2**30), dtype=np.int32)
@@ -283,6 +345,7 @@ def stream_threshold_scan(
         common = dict(
             band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
+            packed=packed,
         )
         scalars = (
             jnp.int32(n_haplotypes), jnp.float32(margin_thres),
@@ -292,25 +355,49 @@ def stream_threshold_scan(
             g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars, **common
         ))
         bi_l, bj_l, br2_l, bdp_l = [], [], [], []
-        for t_idx in np.nonzero(counts > 0)[0]:
-            count = int(counts[t_idx])
-            if count > cap_per_tile:
-                raise RuntimeError(
-                    f"tile {part[t_idx]}: {count} hits > cap_per_tile "
-                    f"{cap_per_tile}; raise cap_per_tile"
-                )
-            r0, c0 = part[t_idx]
-            ii, jj, r2v, dpv = _fetch_tile(
-                g_dev, c1_dev, pos_dev, jnp.int32(r0), jnp.int32(c0),
-                *scalars, cap=cap_per_tile, **common
+        hit_idx = np.nonzero(counts > 0)[0]
+        too_big = hit_idx[counts[hit_idx] > cap_per_tile]
+        if too_big.size:
+            t_idx = int(too_big[0])
+            raise RuntimeError(
+                f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
+                f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
-            ii = np.asarray(ii)[:count].astype(np.int64) + r0
-            jj = np.asarray(jj)[:count].astype(np.int64) + c0
-            ok = (ii < v) & (jj < v)  # drop padding-row pairs
-            bi_l.append(ii[ok])
-            bj_l.append(jj[ok])
-            br2_l.append(np.asarray(r2v)[:count][ok])
-            bdp_l.append(np.asarray(dpv)[:count][ok])
+        # Group hit tiles into power-of-two cap buckets sized from pass
+        # 1's counts: result buffers (and relay transfer) stay
+        # proportional to actual hits, and each bucket fetches all its
+        # tiles in ONE device program.
+        buckets = {}
+        for t_idx in hit_idx:
+            cap = max(1024, 1 << (int(counts[t_idx]) - 1).bit_length())
+            buckets.setdefault(cap, []).append(int(t_idx))
+        for cap, idxs in sorted(buckets.items()):
+            # pad the tile list to a power of two as well (scan length is
+            # a static shape — unpadded it would recompile per batch);
+            # dummy tiles' outputs are simply never read
+            n_fetch = 1 << max(0, (len(idxs) - 1).bit_length())
+            coords = [(part[t][0], part[t][1]) for t in idxs]
+            coords += [(0, 0)] * (n_fetch - len(idxs))
+            r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
+            c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
+            ii_b, jj_b, r2_b, dp_b = _fetch_tiles_batch(
+                g_dev, c1_dev, pos_dev, r0s_f, c0s_f,
+                *scalars, cap=cap, **common
+            )
+            ii_b = np.asarray(ii_b)
+            jj_b = np.asarray(jj_b)
+            r2_b = np.asarray(r2_b)
+            dp_b = np.asarray(dp_b)
+            for k, t_idx in enumerate(idxs):
+                count = int(counts[t_idx])
+                r0, c0 = part[t_idx]
+                ii = ii_b[k, :count].astype(np.int64) + r0
+                jj = jj_b[k, :count].astype(np.int64) + c0
+                ok = (ii < v) & (jj < v)  # drop padding-row pairs
+                bi_l.append(ii[ok])
+                bj_l.append(jj[ok])
+                br2_l.append(r2_b[k, :count][ok])
+                bdp_l.append(dp_b[k, :count][ok])
         if bi_l:
             bi = np.concatenate(bi_l)
             bj = np.concatenate(bj_l)
@@ -350,20 +437,29 @@ def stream_threshold_scan(
     i, j, r2, dp = i[order], j[order], r2[order], dp[order]
     if not exact:
         return ScanHits(i=i, j=j, r_square=r2, d_prime=dp, exact=False)
-    return _exact_refilter(G, n_haplotypes, i, j, measure, thres)
+    if packed:
+        gather = lambda rows: _pack.unpack_rows(Gp, rows, h)  # noqa: E731
+    else:
+        gather = lambda rows: G[rows]  # noqa: E731
+    return _exact_refilter(gather, c1_full, n_haplotypes, i, j, measure,
+                           thres)
 
 
 def _exact_refilter(
-    G, n_hap, i, j, measure, thres, chunk: int = 65536
+    gather_rows, c1_full, n_hap, i, j, measure, thres, chunk: int = 65536
 ) -> ScanHits:
-    """Re-finish hits in f64 from exact counts; filter on rounded values."""
-    c1_full = G.astype(np.int64).sum(axis=1)
+    """Re-finish hits in f64 from exact counts; filter on rounded values.
+
+    ``gather_rows(rows) -> (len(rows), H) int8`` fetches genotype rows (a
+    plain slice for unpacked input, selective bit-unpack for packed), so
+    the cost scales with the number of HITS, not variants.
+    """
     keep_parts = []
     for s in range(0, len(i), chunk):
         ii = i[s : s + chunk]
         jj = j[s : s + chunk]
-        gi = G[ii].astype(np.int64)
-        gj = G[jj].astype(np.int64)
+        gi = gather_rows(ii).astype(np.int64)
+        gj = gather_rows(jj).astype(np.int64)
         c_ab = np.einsum("kh,kh->k", gi, gj)
         exact = exact_ld_elementwise(c_ab, c1_full[ii], c1_full[jj], n_hap)
         meas = exact.r_square if measure == "r_square" else exact.d_prime

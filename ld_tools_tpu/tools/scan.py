@@ -59,16 +59,19 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
 
     t_start = time.time()
     cd = data.store().chrom(chrom)
-    cols = cd.haplotype_columns(data.sample_names)
-    G = cd.genotypes[:, cols]
+    # the scan consumes the store's bitpacked bytes directly (full-cohort
+    # runs are zero-copy; sub-cohorts repack their bit columns once) —
+    # the unpacked matrix is never materialized
+    gp, n_hap = cd.cohort_packed(data.sample_names)
     log.info(
-        "scanning chr%s: %d variants x %d haplotypes, %s >= %s%s",
-        chrom, G.shape[0], G.shape[1], config.ld_measure,
+        "scanning chr%s: %d variants x %d haplotypes (bitpacked), %s >= %s%s",
+        chrom, gp.shape[0], n_hap, config.ld_measure,
         config.ld_low_thres,
         f", dist <= {config.max_dist}" if config.max_dist else "",
     )
     hits = stream_threshold_scan(
-        G,
+        G_packed=gp,
+        n_haplotypes=n_hap,
         pos=cd.pos,
         measure=config.ld_measure,
         thres=config.ld_low_thres,

@@ -120,3 +120,44 @@ def test_scan_pallas_tiles_interpret(rng):
     np.testing.assert_array_equal(a.i, b.i)
     np.testing.assert_array_equal(a.j, b.j)
     np.testing.assert_allclose(a.r_square, b.r_square, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_scan_packed_input_matches_unpacked(rng, use_pallas):
+    """G_packed (store bytes) must produce identical hits and values to
+    the unpacked path, on both the XLA and the Pallas tile kernels."""
+    G = random_haplotypes(rng, 50, 77, maf_low=0.05, maf_high=0.95)
+    G[7] = 0
+    G[13] = 1
+    pos = np.sort(rng.choice(10**6, size=50, replace=False)).astype(np.int64)
+    kw = dict(pos=pos, measure="r_square", thres=0.4, band=16, chunk=16,
+              use_pallas=use_pallas, interpret=use_pallas, exact=True)
+    ref = stream_threshold_scan(G, **kw)
+    gp = np.packbits(G.astype(np.uint8), axis=1)
+    got = stream_threshold_scan(G_packed=gp, n_haplotypes=77, **kw)
+    assert set(zip(got.i.tolist(), got.j.tolist())) == set(
+        zip(ref.i.tolist(), ref.j.tolist())
+    )
+    np.testing.assert_array_equal(got.r_square, ref.r_square)
+    np.testing.assert_array_equal(got.d_prime, ref.d_prime)
+    np.testing.assert_array_equal(
+        got.r_square_is_int_zero, ref.r_square_is_int_zero
+    )
+
+
+def test_pack_column_subsets_and_popcounts(rng):
+    """Cohort bit-column repack + popcount helpers match the unpacked ops."""
+    from ld_tools_tpu.ingest.pack import pack_columns, popcounts, unpack_rows
+
+    G = random_haplotypes(rng, 30, 53, maf_low=0.05, maf_high=0.95)
+    packed = np.packbits(G.astype(np.uint8), axis=1)
+    np.testing.assert_array_equal(
+        popcounts(packed), G.astype(np.int64).sum(axis=1)
+    )
+    cols = np.sort(rng.choice(53, size=20, replace=False))
+    sub = pack_columns(packed, cols, 53, chunk_rows=7)
+    np.testing.assert_array_equal(
+        np.unpackbits(sub, axis=1, count=20), G[:, cols]
+    )
+    rows = np.asarray([3, 0, 29, 3])
+    np.testing.assert_array_equal(unpack_rows(packed, rows, 53), G[rows])
