@@ -26,6 +26,8 @@ License: MIT
     "thres": "Lower LD threshold",
     "max_dist": "Maximum pair distance in bp (default: unlimited)",
     "checkpoint": "Folder for per-batch scan checkpoints (resume after a kill)",
+    "devices": "Shard scan tiles over this many local devices"
+               " ('all' = every device; default: 1)",
 }
 
 TEXT_RU = {
@@ -49,6 +51,8 @@ TEXT_RU = {
     "thres": "Нижний порог LD",
     "max_dist": "Максимальная дистанция пары в bp (по умолчанию: без лимита)",
     "checkpoint": "Папка для почанковых чекпоинтов скана (возобновление после сбоя)",
+    "devices": "Шардировать тайлы скана на столько локальных устройств"
+               " ('all' = все; по умолчанию: 1)",
 }
 
 
@@ -98,6 +102,10 @@ def build_parser(ver: str, text: dict) -> ArgumentParser:
     parser.add_argument(
         "-k", "--checkpoint-dir", metavar="[None]", dest="checkpoint_dir",
         type=str, help=text["checkpoint"],
+    )
+    parser.add_argument(
+        "-d", "--devices", metavar="[1]", dest="devices",
+        type=str, help=text["devices"],
     )
     return parser
 

@@ -126,18 +126,11 @@ def _tile_ld(
     return r2, dp, keep, rows_g, cols_g
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "band", "chunk", "use_pallas", "interpret", "sel", "use_dist",
-        "packed",
-    ),
-)
-def _count_tiles_batch(
+def _count_tiles_body(
     g_dev, c1_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev, max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
 ):
-    """Pass 1: per-tile hit COUNTS for a batch of tiles, one device call.
+    """Pass 1 body: per-tile hit COUNTS for a batch of tiles.
 
     Through an RPC-relayed device, per-call dispatch (~0.5 s) would dwarf
     the ~20 ms of compute per tile, so all tiles run inside one
@@ -161,19 +154,12 @@ def _count_tiles_batch(
     return counts
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "band", "chunk", "cap", "use_pallas", "interpret", "sel",
-        "use_dist", "packed",
-    ),
-)
-def _fetch_tiles_batch(
+def _fetch_tiles_body(
     g_dev, c1_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
     *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
     packed=False,
 ):
-    """Pass 2: compacted hits for a BATCH of tiles known to contain some.
+    """Pass 2 body: compacted hits for a BATCH of tiles that contain some.
 
     One device program per cap bucket (lax.scan over tiles) instead of one
     dispatch per tile: through an RPC-relayed device both the ~0.5 s
@@ -198,6 +184,72 @@ def _fetch_tiles_batch(
     return out  # each (n_tiles, cap)
 
 
+_count_tiles_batch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "band", "chunk", "use_pallas", "interpret", "sel", "use_dist",
+        "packed",
+    ),
+)(_count_tiles_body)
+
+_fetch_tiles_batch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "band", "chunk", "cap", "use_pallas", "interpret", "sel",
+        "use_dist", "packed",
+    ),
+)(_fetch_tiles_body)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_tile_fns(mesh, **static):
+    """(count_fn, fetch_fn(cap)) with the TILE axis sharded over ``mesh``.
+
+    G / c1 / pos / scalars replicate to every device; each device scans
+    its contiguous slice of the tile list independently (the same
+    share-nothing decomposition the reference gets from its process pool,
+    ld_area.py:336-339, but over ICI-connected chips).  No collectives:
+    counts and hit buffers come back tile-sharded and the host concatenates.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    rep = P()
+    tile = P(axis)
+
+    count = jax.jit(
+        jax.shard_map(
+            functools.partial(_count_tiles_body, **static),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, tile, tile, tile, rep, rep, rep),
+            out_specs=tile,
+        )
+    )
+
+    @functools.lru_cache(maxsize=None)
+    def fetch(cap):
+        return jax.jit(
+            jax.shard_map(
+                functools.partial(_fetch_tiles_body, cap=cap, **static),
+                mesh=mesh,
+                in_specs=(rep, rep, rep, tile, tile, rep, rep, rep),
+                out_specs=tile,
+            )
+        )
+
+    return count, fetch
+
+
+def scan_mesh(n_devices=None):
+    """1-D ``Mesh`` over the local devices for a sharded streamed scan."""
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[: int(n_devices)]
+    return Mesh(np.asarray(devices), ("tiles",))
+
+
 def stream_threshold_scan(
     G=None,
     pos=None,
@@ -215,6 +267,7 @@ def stream_threshold_scan(
     interpret: bool = False,
     exact: bool = True,
     checkpoint_dir=None,
+    mesh=None,
 ) -> ScanHits:
     """Scan all lower-triangle pairs of G; keep measure >= thres.
 
@@ -228,6 +281,12 @@ def stream_threshold_scan(
     re-finishes hits in f64 and re-filters on the *rounded* values,
     matching the reference's post-rounding threshold semantics
     (ld_area.py:248).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``, see ``scan_mesh``) the
+    tile batches shard over the mesh devices: G replicates once, each
+    device counts/fetches its slice of tiles, hits concatenate on the
+    host.  Tile order — and therefore output order and checkpoint
+    layout — is identical to the single-device scan.
     """
     from ld_tools_tpu.ingest import pack as _pack
 
@@ -268,9 +327,18 @@ def stream_threshold_scan(
     # (int32-safe sentinel: JAX defaults to 32-bit ints)
     pos_host = np.full((v_pad,), -(2**30), dtype=np.int32)
     pos_host[:v] = pos
-    g_dev = jnp.asarray(g_host)       # resident in HBM for the whole scan
-    c1_dev = jnp.asarray(c1_host)
-    pos_dev = jnp.asarray(pos_host)
+    n_shards = 1 if mesh is None else int(mesh.size)
+    if n_shards > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        g_dev = jax.device_put(g_host, rep)   # replicated across the mesh
+        c1_dev = jax.device_put(c1_host, rep)
+        pos_dev = jax.device_put(pos_host, rep)
+    else:
+        g_dev = jnp.asarray(g_host)   # resident in HBM for the whole scan
+        c1_dev = jnp.asarray(c1_host)
+        pos_dev = jnp.asarray(pos_host)
     del g_host
 
     # Build the tile coordinate list on the host (with whole-tile
@@ -330,10 +398,11 @@ def stream_threshold_scan(
                 log.info("resumed batch %d from %s", s // batch, path)
                 continue
         part = tiles[s : s + batch]
-        # pad the coordinate list to a power-of-two length so differently
-        # sized chromosomes reuse a handful of compiled programs
+        # pad the coordinate list to n_shards x power-of-two so differently
+        # sized chromosomes reuse a handful of compiled programs and the
+        # tile axis divides evenly over the mesh
         n_valid = len(part)
-        target_len = 1
+        target_len = n_shards
         while target_len < n_valid:
             target_len *= 2
         part = part + [(0, 0)] * (target_len - n_valid)
@@ -351,9 +420,15 @@ def stream_threshold_scan(
             jnp.int32(n_haplotypes), jnp.float32(margin_thres),
             jnp.int32(max_dist if use_dist else 0),
         )
-        counts = np.asarray(_count_tiles_batch(
-            g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars, **common
-        ))
+        if n_shards > 1:
+            count_fn, fetch_factory = _sharded_tile_fns(mesh, **common)
+            counts = np.asarray(count_fn(
+                g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars
+            ))
+        else:
+            counts = np.asarray(_count_tiles_batch(
+                g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars, **common
+            ))
         bi_l, bj_l, br2_l, bdp_l = [], [], [], []
         hit_idx = np.nonzero(counts > 0)[0]
         too_big = hit_idx[counts[hit_idx] > cap_per_tile]
@@ -372,18 +447,25 @@ def stream_threshold_scan(
             cap = max(1024, 1 << (int(counts[t_idx]) - 1).bit_length())
             buckets.setdefault(cap, []).append(int(t_idx))
         for cap, idxs in sorted(buckets.items()):
-            # pad the tile list to a power of two as well (scan length is
-            # a static shape — unpadded it would recompile per batch);
-            # dummy tiles' outputs are simply never read
-            n_fetch = 1 << max(0, (len(idxs) - 1).bit_length())
+            # pad the tile list to n_shards x power of two as well (scan
+            # length is a static shape — unpadded it would recompile per
+            # batch); dummy tiles' outputs are simply never read
+            n_fetch = n_shards
+            while n_fetch < len(idxs):
+                n_fetch *= 2
             coords = [(part[t][0], part[t][1]) for t in idxs]
             coords += [(0, 0)] * (n_fetch - len(idxs))
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
             c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
-            ii_b, jj_b, r2_b, dp_b = _fetch_tiles_batch(
-                g_dev, c1_dev, pos_dev, r0s_f, c0s_f,
-                *scalars, cap=cap, **common
-            )
+            if n_shards > 1:
+                ii_b, jj_b, r2_b, dp_b = fetch_factory(cap)(
+                    g_dev, c1_dev, pos_dev, r0s_f, c0s_f, *scalars
+                )
+            else:
+                ii_b, jj_b, r2_b, dp_b = _fetch_tiles_batch(
+                    g_dev, c1_dev, pos_dev, r0s_f, c0s_f,
+                    *scalars, cap=cap, **common
+                )
             ii_b = np.asarray(ii_b)
             jj_b = np.asarray(jj_b)
             r2_b = np.asarray(r2_b)

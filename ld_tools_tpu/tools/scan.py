@@ -33,6 +33,7 @@ class ScanConfig:
     max_dist: object  # int or None
     checkpoint_dir: object = None
     use_pallas: bool = False
+    n_devices: object = None  # None = 1; "all" or int = shard tiles
 
     @staticmethod
     def from_args(args):
@@ -50,7 +51,18 @@ class ScanConfig:
             # and compile far faster through the remote-compile relay;
             # the Pallas kernel stays the dense-matrix/bench path
             use_pallas=False,
+            n_devices=getattr(args, "devices", None),
         )
+
+    def mesh(self):
+        """1-D tile mesh when more than one device is requested/present."""
+        if self.n_devices is None:
+            return None
+        from ld_tools_tpu.ops.ld_stream import scan_mesh
+
+        n = None if self.n_devices == "all" else int(self.n_devices)
+        mesh = scan_mesh(n)
+        return mesh if mesh.size > 1 else None
 
 
 def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
@@ -79,6 +91,7 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
         use_pallas=config.use_pallas,
         exact=True,
         checkpoint_dir=config.checkpoint_dir,
+        mesh=config.mesh(),
     )
     makedirs(config.trg_dir_path)
     name = (

@@ -161,3 +161,41 @@ def test_pack_column_subsets_and_popcounts(rng):
     )
     rows = np.asarray([3, 0, 29, 3])
     np.testing.assert_array_equal(unpack_rows(packed, rows, 53), G[rows])
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_scan_sharded_mesh_matches_single_device(rng, n_devices):
+    """Tile-sharded scan over a device mesh must reproduce the
+    single-device scan exactly (hits, values, and ordering)."""
+    from ld_tools_tpu.ops.ld_stream import scan_mesh
+
+    G = random_haplotypes(rng, 70, 64, maf_low=0.05, maf_high=0.95)
+    G[3] = 0
+    pos = np.sort(rng.choice(10**6, size=70, replace=False)).astype(np.int64)
+    kw = dict(pos=pos, measure="r_square", thres=0.3, band=16, chunk=16,
+              use_pallas=False, exact=True, max_dist=600_000)
+    ref = stream_threshold_scan(G, **kw)
+    got = stream_threshold_scan(G, mesh=scan_mesh(n_devices), **kw)
+    np.testing.assert_array_equal(got.i, ref.i)
+    np.testing.assert_array_equal(got.j, ref.j)
+    np.testing.assert_array_equal(got.r_square, ref.r_square)
+    np.testing.assert_array_equal(got.d_prime, ref.d_prime)
+
+
+def test_scan_sharded_packed_input(rng):
+    """Mesh sharding composes with the bitpacked input path."""
+    from ld_tools_tpu.ops.ld_stream import scan_mesh
+
+    G = random_haplotypes(rng, 40, 53, maf_low=0.05, maf_high=0.95)
+    pos = np.sort(rng.choice(10**6, size=40, replace=False)).astype(np.int64)
+    kw = dict(pos=pos, measure="d_prime", thres=0.5, band=16, chunk=16,
+              use_pallas=False, exact=True)
+    ref = stream_threshold_scan(G, **kw)
+    gp = np.packbits(G.astype(np.uint8), axis=1)
+    got = stream_threshold_scan(
+        G_packed=gp, n_haplotypes=53, mesh=scan_mesh(8), **kw
+    )
+    np.testing.assert_array_equal(got.i, ref.i)
+    np.testing.assert_array_equal(got.j, ref.j)
+    np.testing.assert_array_equal(got.r_square, ref.r_square)
+    np.testing.assert_array_equal(got.d_prime, ref.d_prime)

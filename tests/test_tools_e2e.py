@@ -329,3 +329,58 @@ def test_triangle_dprime_measure_matches_oracle(env, tmp_path):
         for j in range(i):
             expected = oracle_ld(gl[rsids[i]], gl[rsids[j]])
             assert row[2 + j] == str(expected["d_prime"]), (i, j)
+
+
+def _scan_args(env, trg, **kw):
+    return types.SimpleNamespace(
+        chroms=kw.get("chroms", "5"),
+        trg_dir_path=trg,
+        intgen_dir_path=env.intgen,
+        skip_intgen_data_ver=True,
+        gend_names=kw.get("gend_names", "both"),
+        pop_names=kw.get("pop_names", "all"),
+        ld_measure=kw.get("ld_measure", "r_square"),
+        ld_low_thres=kw.get("ld_low_thres", 0.2),
+        max_dist=kw.get("max_dist", None),
+        checkpoint_dir=None,
+        devices=kw.get("devices", None),
+    )
+
+
+def test_scan_tool_oracle_parity_and_device_sharding(env, tmp_path):
+    """ld_scan output rows must match brute-force oracle filtering, and a
+    mesh-sharded run (-d all over the 8 virtual devices) must produce a
+    byte-identical file."""
+    from ld_tools_tpu.tools import scan
+
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    assert scan.run(_scan_args(env, single)) == 1
+    assert scan.run(_scan_args(env, sharded, devices="all")) == 1
+    name = "ld_scan_chr5_r_0.2.tsv"
+    with open(os.path.join(single, name)) as fh:
+        body = fh.read()
+    with open(os.path.join(sharded, name)) as fh:
+        assert fh.read() == body
+
+    rows = [
+        ln.split("\t") for ln in body.splitlines() if not ln.startswith("#")
+    ]
+    rs5 = list(env.rs_by_chrom["5"])
+    gl = _cohort_lists(env, "5", rs5)
+    pos_of = env.rs_by_chrom["5"]
+    expected = {}
+    by_pos = sorted(rs5, key=lambda r: pos_of[r])
+    for a_i in range(len(by_pos)):
+        for b_i in range(a_i):
+            ra, rb = by_pos[a_i], by_pos[b_i]
+            out = oracle_ld(gl[ra], gl[rb])
+            if out["r_square"] >= 0.2:
+                expected[(ra, rb)] = out
+    got = {(r[1], r[3]): r for r in rows}
+    assert set(got) == set(expected)
+    for key, r in got.items():
+        out = expected[key]
+        assert float(r[5]) == out["r_square"]
+        assert float(r[6]) == out["d_prime"]
+        assert int(r[4]) == pos_of[key[0]] - pos_of[key[1]]
