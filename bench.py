@@ -64,12 +64,13 @@ def _run(on_tpu_requested):
             _triangle_coords,
             pack_rows,
         )
-        from ld_tools_tpu.utils.profiling import Roofline, device_seconds
+        from ld_tools_tpu.utils.profiling import Roofline
 
         # bitpacked inputs (8 haplotypes/byte, the store's disk format)
         # feed int8 bit-plane MXU matmuls: 8x less HBM input traffic and
-        # 2x the bf16 MXU rate; block 512 measured best on v5e
-        block = 512
+        # 2x the bf16 MXU rate; block 1024 amortizes the per-step VPU
+        # bit-plane unpack of the moving block best on v5e
+        block = 1024
         h_pad_b = -(-n_hap // 1024) * 1024  # byte width x8 stays 128-align
         v_pad = -(-v // block) * block
         Gp = np.zeros((v_pad, h_pad_b), dtype=np.uint8)
@@ -83,12 +84,12 @@ def _run(on_tpu_requested):
         n_arr = jnp.asarray([n_hap], dtype=np.int32)
 
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def tri_loop(g, c1, reps):
-            # data-dependent chaining defeats upstream memoization and
-            # in-program CSE; chaining through the small (V, 1) c1 vector
-            # (acc * 0.0 is not foldable under float semantics) keeps the
-            # loop body cheap — rewriting the 50 MB G per iteration cost
-            # ~7x in compile time and measurable runtime
+        def tri_loop(g, c1, seed, reps):
+            # data-dependent chaining defeats in-program CSE (acc * 0.0
+            # is not foldable under float semantics), and the distinct
+            # ``seed`` input per timed call defeats whole-execution
+            # memoization by any upstream relay: every timed run has
+            # fresh input values but identical per-sweep work
             def body(i, acc):
                 c1c = c1 + acc * 0.0
                 # the headline metric is all-pairs r^2, so D' output
@@ -99,16 +100,22 @@ def _run(on_tpu_requested):
                     want_dprime=False, mxu_dtype="packed",
                 )
                 return acc + r2[0, 0]
-            return jax.lax.fori_loop(0, reps, body, 0.0)
+            return jax.lax.fori_loop(0, reps, body, seed * 0.0)
 
+        reps = 60
         t0 = time.perf_counter()
-        tri_loop(g_pad, c1, 1).block_until_ready()
+        tri_loop(g_pad, c1, jnp.float32(0.0), reps).block_until_ready()
         _log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
-        def run_reps(n):
-            tri_loop(g_pad, c1, n).block_until_ready()
-
-        dt = device_seconds(run_reps, reps=6)
+        # honest wall clock: time whole fresh-input executions and take
+        # the best of 3; at 60 chained sweeps per call the per-call
+        # dispatch/RPC overhead is < 1% of the measured device time
+        dt = float("inf")
+        for trial in range(3):
+            seed = jnp.float32(trial + 1.0)
+            t0 = time.perf_counter()
+            tri_loop(g_pad, c1, seed, reps).block_until_ready()
+            dt = min(dt, (time.perf_counter() - t0) / reps)
         n_blocks = len(bi)
         roof = Roofline(
             n_pairs=pairs,
