@@ -36,7 +36,7 @@ class NativeScanError(RuntimeError):
 def _build() -> None:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB, "-lz",
+        _SRC, "-o", _LIB, "-lz", "-lpthread",
     ]
     try:
         subprocess.run(
@@ -64,6 +64,8 @@ def _load():
             raise NativeUnavailable(str(exc)) from exc
         lib.vp_scan.restype = ctypes.c_void_p
         lib.vp_scan.argtypes = [ctypes.c_char_p]
+        lib.vp_scan_mt.restype = ctypes.c_void_p
+        lib.vp_scan_mt.argtypes = [ctypes.c_char_p, ctypes.c_int32]
         for name in ("vp_n_variants", "vp_n_haplotypes", "vp_row_bytes"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -88,11 +90,18 @@ def _split(raw: bytes) -> list:
     return text.split("\n")[:-1] if text else []
 
 
-def scan_packed(path: str):
+def scan_packed(path: str, n_threads: int | None = None):
     """Native scan -> (packed uint8 (V, ceil(H/8)), n_haplotypes, pos,
-    rsid, ref, alt, vt, samples) — no unpacked matrix is materialized."""
+    rsid, ref, alt, vt, samples) — no unpacked matrix is materialized.
+
+    ``n_threads`` > 1 engages the BGZF block-parallel scanner (bgzip
+    members inflate+parse concurrently; non-BGZF inputs fall back to the
+    single-threaded path inside the library).  Defaults to the CPU count.
+    """
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
     lib = _load()
-    handle = lib.vp_scan(os.fspath(path).encode())
+    handle = lib.vp_scan_mt(os.fspath(path).encode(), int(n_threads))
     if not handle:
         raise NativeScanError("vp_scan returned null")
     try:
@@ -122,9 +131,10 @@ def scan_packed(path: str):
         lib.vp_free(handle)
 
 
-def scan(path: str):
+def scan(path: str, n_threads: int | None = None):
     """Native scan -> (genotypes int8 (V, H), pos, rsid, ref, alt, vt,
     samples), matching ingest/vcf.py's record semantics."""
-    packed, h, pos, rsid, ref, alt, vt, samples = scan_packed(path)
+    packed, h, pos, rsid, ref, alt, vt, samples = scan_packed(
+        path, n_threads=n_threads)
     genotypes = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
     return genotypes, pos, rsid, ref, alt, vt, samples

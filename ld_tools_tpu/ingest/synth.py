@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import gzip
 import os
+import struct
+import zlib
 
 import numpy as np
 
@@ -41,6 +43,53 @@ def write_panel(path: str, panel_rows) -> None:
         fh.write("sample\tpop\tsuper_pop\tgender\n")
         for row in panel_rows:
             fh.write("\t".join(row) + "\n")
+
+
+class BgzfWriter:
+    """Minimal BGZF (blocked gzip) writer.
+
+    The real 1000G VCFs are bgzip-compressed: a sequence of independent
+    gzip members of <=65,280 uncompressed bytes, each carrying its own
+    compressed size in a "BC" extra subfield, terminated by a fixed
+    28-byte empty member.  Writing fixtures in this format lets tests and
+    benches exercise the native scanner's block-parallel path
+    (native/vcfpack.cpp vp_scan_mt); gzip.open / gzread read it
+    transparently as multi-member gzip.
+    """
+
+    MAX_BLOCK = 65280
+    EOF_MARKER = bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000"
+    )
+
+    def __init__(self, fh, level: int = 6):
+        self._fh = fh
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self.MAX_BLOCK:
+            self._emit(bytes(self._buf[: self.MAX_BLOCK]))
+            del self._buf[: self.MAX_BLOCK]
+
+    def close(self) -> None:
+        if self._buf:
+            self._emit(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(self.EOF_MARKER)
+
+    def _emit(self, chunk: bytes) -> None:
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = 12 + 6 + len(cdata) + 8  # header + BC subfield + payload + crc/isize
+        header = (
+            b"\x1f\x8b\x08\x04" + b"\x00" * 6
+            + struct.pack("<H", 6)
+            + b"BC" + struct.pack("<HH", 2, bsize - 1)
+        )
+        footer = struct.pack("<II", zlib.crc32(chunk), len(chunk) & 0xFFFFFFFF)
+        self._fh.write(header + cdata + footer)
 
 
 def _genotype_line_bytes(row: np.ndarray) -> bytes:
@@ -83,11 +132,16 @@ def write_vcf(
     extra_records=(),
     rng=None,
     pos_step: int = 1000,
+    bgzf: bool = True,
+    bgzf_block: int | None = None,
 ) -> dict:
     """Write a phased biallelic VCF(.gz); returns {rsid: pos}.
 
     ``extra_records`` entries are (sort_pos, raw_vcf_line) for injecting
-    records that ingest must filter out.
+    records that ingest must filter out.  ``.gz`` paths are written as
+    BGZF (like real 1000G files) unless ``bgzf=False`` requests plain
+    single-member gzip; ``bgzf_block`` shrinks the block size to force
+    records to span block/batch boundaries in tests.
     """
     n_variants, n_hap = genotypes.shape
     assert n_hap == 2 * len(sample_names)
@@ -109,7 +163,24 @@ def write_vcf(
         lines.append((sort_pos, len(lines), raw.encode()))
     lines.sort(key=lambda t: (t[0], t[1]))
 
-    opener = gzip.open if str(path).endswith(".gz") else open
+    is_gz = str(path).endswith(".gz")
+    if is_gz and bgzf:
+        with open(path, "wb") as raw_fh:
+            writer = BgzfWriter(raw_fh)
+            if bgzf_block is not None:
+                writer.MAX_BLOCK = bgzf_block
+            writer.write(b"##fileformat=VCFv4.1\n")
+            writer.write(b"##source=ld_tools_tpu.ingest.synth\n")
+            header = "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            writer.write(
+                header.encode() + "\t".join(sample_names).encode() + b"\n"
+            )
+            for _, _, line in lines:
+                writer.write(line + b"\n")
+            writer.close()
+        return {rsids[i]: int(pos[i]) for i in range(n_variants)}
+
+    opener = gzip.open if is_gz else open
     with opener(path, "wb") as fh:
         fh.write(b"##fileformat=VCFv4.1\n")
         fh.write(b"##source=ld_tools_tpu.ingest.synth\n")

@@ -15,19 +15,342 @@
 // Genotype bits are packed MSB-first per row (numpy packbits layout) so
 // the Python side can hand the buffer straight to np.unpackbits.
 //
-// Build: g++ -O3 -march=native -shared -fPIC vcfpack.cpp -o libvcfpack.so -lz
+// Two execution modes:
+//   vp_scan(path)            — single-threaded gzFile streaming scan.
+//   vp_scan_mt(path, n)      — BGZF block-parallel scan: the 1000G files
+//     are bgzip-compressed, i.e. a sequence of independent <=64 KiB gzip
+//     members whose compressed size is recorded in a "BC" extra subfield,
+//     so a reader thread can slice the compressed stream at member
+//     boundaries WITHOUT decompressing and hand batches of blocks to
+//     worker threads that inflate AND parse them concurrently; a
+//     coordinator merges per-batch results in order, parsing the one
+//     line per seam that spans a batch boundary and running the
+//     duplicate-triple suppression over the ordered record stream.
+//     Non-BGZF inputs (plain gzip / raw text) fall back to vp_scan.
+//
+// Both modes share one data-line parser with a vectorizable fast path for
+// the uniform "a|b\t" cell layout phased 1000G rows have (validate all
+// cells with branch-free byte compares, then gather every other byte).
+//
+// Build: g++ -O3 -march=native -shared -fPIC vcfpack.cpp -o libvcfpack.so
+//        -lz -lpthread
 
 #include <zlib.h>
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <deque>
+#include <map>
+#include <memory>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
 
-// Chunked line reader over gzFile (gzread handles plain files and
-// multi-member gzip/bgzf transparently).
+// ---------------------------------------------------------------------------
+// Shared line-level parsing
+// ---------------------------------------------------------------------------
+
+bool is_rs_id(const char* s, size_t len) {
+  if (len < 3 || s[0] != 'r' || s[1] != 's') return false;
+  for (size_t i = 2; i < len; ++i) {
+    if (s[i] < '0' || s[i] > '9') return false;
+  }
+  return true;
+}
+
+struct Record {
+  std::string chrom, rsid, ref, alt, vt;
+  int64_t pos = 0;
+  std::vector<uint8_t> packed;
+};
+
+// Fast path for the dominant layout: FORMAT == "GT" and every cell is
+// exactly "a|b" (or "a/b") with single-digit alleles, i.e. the genotype
+// section is 4*n_samples-1 bytes with alleles at even offsets.  Both
+// loops are simple byte-wise passes that g++ -O3 autovectorizes; the
+// generic fallback below handles everything else (and multi-digit
+// alleles, which are a scan error, surface through it).
+bool parse_gt_fast(const char* g, const char* end, int64_t n_haplotypes,
+                   uint8_t* out_row /* zeroed, (n_haplotypes+7)/8 bytes */) {
+  const int64_t n_samples = n_haplotypes / 2;
+  if (end - g != n_samples * 4 - 1) return false;
+  uint8_t ok = 1;
+  for (int64_t s = 0; s < n_samples; ++s) {
+    const char* c = g + s * 4;
+    // '0'/'1' iff (c & 0xFE) == 0x30; separator '|' or '/'
+    ok &= static_cast<uint8_t>((c[0] & 0xFE) == 0x30);
+    ok &= static_cast<uint8_t>((c[2] & 0xFE) == 0x30);
+    ok &= static_cast<uint8_t>(c[1] == '|' || c[1] == '/');
+  }
+  for (int64_t s = 0; s + 1 < n_samples; ++s) {
+    ok &= static_cast<uint8_t>(g[s * 4 + 3] == '\t');
+  }
+  if (!ok) return false;
+  const int64_t full_bytes = n_haplotypes >> 3;
+  for (int64_t b = 0; b < full_bytes; ++b) {
+    const char* c = g + b * 16;  // 8 alleles at stride 2
+    uint8_t v = 0;
+    for (int k = 0; k < 8; ++k) v = static_cast<uint8_t>((v << 1) | (c[2 * k] & 1));
+    out_row[b] = v;
+  }
+  if (n_haplotypes & 7) {
+    const char* c = g + full_bytes * 16;
+    uint8_t v = 0;
+    for (int64_t k = 0; k < (n_haplotypes & 7); ++k) {
+      v = static_cast<uint8_t>(v | ((c[2 * k] & 1) << (7 - k)));
+    }
+    out_row[full_bytes] = v;
+  }
+  return true;
+}
+
+// Generic genotype parse (FORMAT with extra fields, '\r', odd spacing).
+// Returns false and sets *err on malformed input.
+bool parse_gt_generic(const char* g, const char* end, bool gt_only,
+                      int64_t n_haplotypes, uint8_t* out_row,
+                      const std::string& rsid, std::string* err) {
+  int64_t allele_idx = 0;
+  if (gt_only) {
+    for (const char* c = g; c < end; ++c) {
+      char ch = *c;
+      if (ch == '0' || ch == '1') {
+        if (allele_idx >= n_haplotypes) {
+          *err = "too many alleles at " + rsid;
+          return false;
+        }
+        if (ch == '1') {
+          out_row[allele_idx >> 3] |=
+              static_cast<uint8_t>(0x80u >> (allele_idx & 7));
+        }
+        ++allele_idx;
+      } else if (ch == '|' || ch == '/' || ch == '\t') {
+        // separators
+      } else {
+        *err = "unsupported genotype char '" + std::string(1, ch) +
+               "' at " + rsid;
+        return false;
+      }
+    }
+  } else {
+    // FORMAT has extra per-sample fields: take the leading GT of each.
+    const char* c = g;
+    while (c < end) {
+      const char* tab = static_cast<const char*>(
+          memchr(c, '\t', static_cast<size_t>(end - c)));
+      const char* cell_end = tab != nullptr ? tab : end;
+      const char* colon = static_cast<const char*>(
+          memchr(c, ':', static_cast<size_t>(cell_end - c)));
+      const char* gt_end = colon != nullptr ? colon : cell_end;
+      for (const char* q = c; q < gt_end; ++q) {
+        char ch = *q;
+        if (ch == '0' || ch == '1') {
+          if (allele_idx >= n_haplotypes) {
+            *err = "too many alleles at " + rsid;
+            return false;
+          }
+          if (ch == '1') {
+            out_row[allele_idx >> 3] |=
+                static_cast<uint8_t>(0x80u >> (allele_idx & 7));
+          }
+          ++allele_idx;
+        } else if (ch == '|' || ch == '/') {
+        } else {
+          *err = "unsupported genotype char in " + rsid;
+          return false;
+        }
+      }
+      c = cell_end + 1;
+    }
+  }
+  if (allele_idx != n_haplotypes) {
+    *err = "allele count mismatch at " + rsid;
+    return false;
+  }
+  return true;
+}
+
+enum class LineVerdict { kKept, kSkipped, kError };
+
+// Parse one data line.  n_haplotypes/row_bytes must be known (header
+// already seen).  kSkipped covers the rs-ID and MULTI_ALLELIC filters.
+LineVerdict parse_data_line(const char* line, size_t len,
+                            int64_t n_haplotypes, int64_t row_bytes,
+                            Record* out, std::string* err) {
+  if (len > 0 && line[len - 1] == '\r') --len;
+  if (len == 0) return LineVerdict::kSkipped;
+
+  const char* f[9];
+  size_t flen[9];
+  int field = 0;
+  size_t start = 0;
+  for (size_t i = 0; i <= len && field < 9; ++i) {
+    if (i == len || line[i] == '\t') {
+      f[field] = line + start;
+      flen[field] = i - start;
+      start = i + 1;
+      ++field;
+    }
+  }
+  if (field < 9) return LineVerdict::kSkipped;  // malformed / truncated
+  size_t gt_start = start;
+
+  if (!is_rs_id(f[2], flen[2])) return LineVerdict::kSkipped;
+
+  // INFO: MULTI_ALLELIC flag and VT= value.
+  bool multiallelic = false;
+  std::string vt;
+  {
+    const char* info = f[7];
+    size_t ilen = flen[7];
+    size_t s = 0;
+    for (size_t i = 0; i <= ilen; ++i) {
+      if (i == ilen || info[i] == ';') {
+        size_t l = i - s;
+        if (l == 13 && memcmp(info + s, "MULTI_ALLELIC", 13) == 0) {
+          multiallelic = true;
+        } else if (l > 3 && memcmp(info + s, "VT=", 3) == 0) {
+          vt.assign(info + s + 3, l - 3);
+        }
+        s = i + 1;
+      }
+    }
+  }
+  if (multiallelic) return LineVerdict::kSkipped;
+
+  bool gt_only = (flen[8] == 2 && f[8][0] == 'G' && f[8][1] == 'T');
+  if (!gt_only && !(flen[8] > 2 && memcmp(f[8], "GT:", 3) == 0)) {
+    *err = "FORMAT must lead with GT: " + std::string(f[8], flen[8]);
+    return LineVerdict::kError;
+  }
+
+  int64_t pos = 0;
+  for (size_t i = 0; i < flen[1]; ++i) {
+    char c = f[1][i];
+    if (c < '0' || c > '9') {
+      *err = "bad POS field";
+      return LineVerdict::kError;
+    }
+    pos = pos * 10 + (c - '0');
+  }
+
+  out->chrom.assign(f[0], flen[0]);
+  out->rsid.assign(f[2], flen[2]);
+  out->ref.assign(f[3], flen[3]);
+  out->alt.assign(f[4], flen[4]);
+  out->vt = std::move(vt);
+  out->pos = pos;
+  out->packed.assign(static_cast<size_t>(row_bytes), 0);
+
+  const char* g = line + gt_start;
+  const char* end = line + len;
+  if (gt_only && parse_gt_fast(g, end, n_haplotypes, out->packed.data())) {
+    return LineVerdict::kKept;
+  }
+  return parse_gt_generic(g, end, gt_only, n_haplotypes, out->packed.data(),
+                          out->rsid, err)
+             ? LineVerdict::kKept
+             : LineVerdict::kError;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct VpResult {
+  int64_t n_variants = 0;
+  int64_t n_haplotypes = 0;
+  int64_t row_bytes = 0;
+  std::vector<uint8_t> packed;     // n_variants * row_bytes
+  std::vector<int64_t> positions;
+  std::string rsids;    // '\n'-joined
+  std::string refs;
+  std::string alts;
+  std::string vts;
+  std::string samples;  // '\n'-joined
+  std::string error;
+};
+
+}  // extern "C"
+
+namespace {
+
+// Consecutive identical (CHROM, POS, ID) triples are dropped ENTIRELY,
+// which needs a one-record emission delay (reference
+// prep_intgen_data.py:163-176 applies the same run-suppression rule).
+class DedupEmitter {
+ public:
+  explicit DedupEmitter(VpResult* r) : r_(r) {}
+
+  void push(Record&& rec) {
+    if (valid_ && pending_.pos == rec.pos && pending_.chrom == rec.chrom &&
+        pending_.rsid == rec.rsid) {
+      pending_dup_ = true;
+      return;
+    }
+    if (valid_ && !pending_dup_) emit();
+    pending_ = std::move(rec);
+    valid_ = true;
+    pending_dup_ = false;
+  }
+
+  void finish() {
+    if (valid_ && !pending_dup_) emit();
+    valid_ = false;
+  }
+
+ private:
+  void emit() {
+    r_->packed.insert(r_->packed.end(), pending_.packed.begin(),
+                      pending_.packed.end());
+    r_->positions.push_back(pending_.pos);
+    r_->rsids += pending_.rsid;
+    r_->rsids += '\n';
+    r_->refs += pending_.ref;
+    r_->refs += '\n';
+    r_->alts += pending_.alt;
+    r_->alts += '\n';
+    r_->vts += pending_.vt;
+    r_->vts += '\n';
+    ++r_->n_variants;
+  }
+
+  VpResult* r_;
+  Record pending_;
+  bool valid_ = false;
+  bool pending_dup_ = false;
+};
+
+// Parse the #CHROM header line: fill samples / n_haplotypes / row_bytes.
+void parse_chrom_header(const char* line, size_t len, VpResult* r) {
+  int field = 0;
+  size_t start = 0;
+  int64_t n_samples = 0;
+  for (size_t i = 0; i <= len; ++i) {
+    if (i == len || line[i] == '\t') {
+      if (field >= 9) {
+        r->samples.append(line + start, i - start);
+        r->samples += '\n';
+        ++n_samples;
+      }
+      start = i + 1;
+      ++field;
+    }
+  }
+  r->n_haplotypes = 2 * n_samples;
+  r->row_bytes = (r->n_haplotypes + 7) / 8;
+}
+
+// ---------------------------------------------------------------------------
+// Single-threaded streaming scan (gzread handles raw text, plain gzip,
+// and bgzf transparently).
+// ---------------------------------------------------------------------------
+
 class LineReader {
  public:
   explicit LineReader(const char* path) : gz_(gzopen(path, "rb")) {
@@ -38,8 +361,6 @@ class LineReader {
   }
   bool ok() const { return gz_ != nullptr; }
 
-  // Returns false at EOF.  The returned string_view-ish pair is valid
-  // until the next call.
   bool next_line(const char** line, size_t* len) {
     line_.clear();
     while (true) {
@@ -77,237 +398,512 @@ class LineReader {
   std::string line_;
 };
 
-bool is_rs_id(const char* s, size_t len) {
-  if (len < 3 || s[0] != 'r' || s[1] != 's') return false;
-  for (size_t i = 2; i < len; ++i) {
-    if (s[i] < '0' || s[i] > '9') return false;
-  }
-  return true;
-}
-
-struct PendingRecord {
-  std::string chrom, rsid, ref, alt, vt;
-  int64_t pos = -1;
-  std::vector<uint8_t> packed;  // bitpacked genotype row
-  bool valid = false;
-};
-
-}  // namespace
-
-extern "C" {
-
-struct VpResult {
-  int64_t n_variants = 0;
-  int64_t n_haplotypes = 0;
-  int64_t row_bytes = 0;
-  std::vector<uint8_t> packed;     // n_variants * row_bytes
-  std::vector<int64_t> positions;
-  std::string rsids;    // '\n'-joined
-  std::string refs;
-  std::string alts;
-  std::string vts;
-  std::string samples;  // '\n'-joined
-  std::string error;
-};
-
-static void emit(VpResult* r, PendingRecord* p) {
-  r->packed.insert(r->packed.end(), p->packed.begin(), p->packed.end());
-  r->positions.push_back(p->pos);
-  r->rsids += p->rsid;
-  r->rsids += '\n';
-  r->refs += p->ref;
-  r->refs += '\n';
-  r->alts += p->alt;
-  r->alts += '\n';
-  r->vts += p->vt;
-  r->vts += '\n';
-  ++r->n_variants;
-}
-
-VpResult* vp_scan(const char* path) {
-  VpResult* r = new VpResult();
+void scan_single_threaded(const char* path, VpResult* r) {
   LineReader reader(path);
   if (!reader.ok()) {
     r->error = std::string("cannot open ") + path;
-    return r;
+    return;
   }
   const char* line;
   size_t len;
-  int64_t n_samples = -1;
-  PendingRecord pending;
-  bool pending_dup = false;
+  bool have_header = false;
+  DedupEmitter emitter(r);
+  Record rec;
 
   while (reader.next_line(&line, &len)) {
     if (len > 0 && line[len - 1] == '\r') --len;
     if (len == 0) continue;
     if (line[0] == '#') {
       if (len >= 6 && memcmp(line, "#CHROM", 6) == 0) {
-        // Collect sample names: columns 10+.
-        int field = 0;
-        size_t start = 0;
-        n_samples = 0;
-        for (size_t i = 0; i <= len; ++i) {
-          if (i == len || line[i] == '\t') {
-            if (field >= 9) {
-              r->samples.append(line + start, i - start);
-              r->samples += '\n';
-              ++n_samples;
-            }
-            start = i + 1;
-            ++field;
-          }
-        }
-        r->n_haplotypes = 2 * n_samples;
-        r->row_bytes = (r->n_haplotypes + 7) / 8;
+        parse_chrom_header(line, len, r);
+        have_header = true;
       }
       continue;
     }
-    if (n_samples < 0) {
+    if (!have_header) {
       r->error = "no #CHROM header before data lines";
-      return r;
+      return;
     }
-
-    // Split the 9 fixed fields; genotype section follows.
-    const char* f[9];
-    size_t flen[9];
-    int field = 0;
-    size_t start = 0;
-    size_t gt_start = 0;
-    for (size_t i = 0; i <= len && field < 9; ++i) {
-      if (i == len || line[i] == '\t') {
-        f[field] = line + start;
-        flen[field] = i - start;
-        start = i + 1;
-        ++field;
-      }
+    switch (parse_data_line(line, len, r->n_haplotypes, r->row_bytes, &rec,
+                            &r->error)) {
+      case LineVerdict::kKept:
+        emitter.push(std::move(rec));
+        break;
+      case LineVerdict::kSkipped:
+        break;
+      case LineVerdict::kError:
+        return;
     }
-    if (field < 9) continue;  // malformed / truncated line
-    gt_start = start;
-
-    if (!is_rs_id(f[2], flen[2])) continue;
-
-    // INFO: MULTI_ALLELIC flag and VT= value.
-    bool multiallelic = false;
-    std::string vt;
-    {
-      const char* info = f[7];
-      size_t ilen = flen[7];
-      size_t s = 0;
-      for (size_t i = 0; i <= ilen; ++i) {
-        if (i == ilen || info[i] == ';') {
-          size_t l = i - s;
-          if (l == 13 && memcmp(info + s, "MULTI_ALLELIC", 13) == 0) {
-            multiallelic = true;
-          } else if (l > 3 && memcmp(info + s, "VT=", 3) == 0) {
-            vt.assign(info + s + 3, l - 3);
-          }
-          s = i + 1;
-        }
-      }
-    }
-    if (multiallelic) continue;
-
-    // FORMAT must lead with GT.
-    bool gt_only = (flen[8] == 2 && f[8][0] == 'G' && f[8][1] == 'T');
-    if (!gt_only && !(flen[8] > 2 && memcmp(f[8], "GT:", 3) == 0)) {
-      r->error = "FORMAT must lead with GT: " + std::string(f[8], flen[8]);
-      return r;
-    }
-
-    int64_t pos = 0;
-    for (size_t i = 0; i < flen[1]; ++i) {
-      char c = f[1][i];
-      if (c < '0' || c > '9') {
-        r->error = "bad POS field";
-        return r;
-      }
-      pos = pos * 10 + (c - '0');
-    }
-
-    std::string chrom(f[0], flen[0]);
-    std::string rsid(f[2], flen[2]);
-    bool same_triple = pending.valid && pending.pos == pos &&
-                       pending.chrom == chrom && pending.rsid == rsid;
-    if (same_triple) {
-      pending_dup = true;
-      continue;
-    }
-    if (pending.valid && !pending_dup) emit(r, &pending);
-
-    // Parse genotypes into a fresh packed row.
-    pending.packed.assign(static_cast<size_t>(r->row_bytes), 0);
-    int64_t allele_idx = 0;
-    const char* g = line + gt_start;
-    const char* end = line + len;
-    if (gt_only) {
-      for (const char* c = g; c < end; ++c) {
-        char ch = *c;
-        if (ch == '0' || ch == '1') {
-          if (allele_idx >= r->n_haplotypes) {
-            r->error = "too many alleles at " + rsid;
-            return r;
-          }
-          if (ch == '1') {
-            pending.packed[allele_idx >> 3] |=
-                static_cast<uint8_t>(0x80u >> (allele_idx & 7));
-          }
-          ++allele_idx;
-        } else if (ch == '|' || ch == '/' || ch == '\t') {
-          // separators
-        } else {
-          r->error = "unsupported genotype char '" +
-                     std::string(1, ch) + "' at " + rsid;
-          return r;
-        }
-      }
-    } else {
-      // FORMAT has extra per-sample fields: take the leading GT of each.
-      const char* c = g;
-      while (c < end) {
-        const char* tab = static_cast<const char*>(
-            memchr(c, '\t', static_cast<size_t>(end - c)));
-        const char* cell_end = tab != nullptr ? tab : end;
-        const char* colon = static_cast<const char*>(
-            memchr(c, ':', static_cast<size_t>(cell_end - c)));
-        const char* gt_end = colon != nullptr ? colon : cell_end;
-        for (const char* q = c; q < gt_end; ++q) {
-          char ch = *q;
-          if (ch == '0' || ch == '1') {
-            if (allele_idx >= r->n_haplotypes) {
-              r->error = "too many alleles at " + rsid;
-              return r;
-            }
-            if (ch == '1') {
-              pending.packed[allele_idx >> 3] |=
-                  static_cast<uint8_t>(0x80u >> (allele_idx & 7));
-            }
-            ++allele_idx;
-          } else if (ch == '|' || ch == '/') {
-          } else {
-            r->error = "unsupported genotype char in " + rsid;
-            return r;
-          }
-        }
-        c = cell_end + 1;
-      }
-    }
-    if (allele_idx != r->n_haplotypes) {
-      r->error = "allele count mismatch at " + rsid;
-      return r;
-    }
-
-    pending.chrom = std::move(chrom);
-    pending.rsid = std::move(rsid);
-    pending.ref.assign(f[3], flen[3]);
-    pending.alt.assign(f[4], flen[4]);
-    pending.vt = std::move(vt);
-    pending.pos = pos;
-    pending.valid = true;
-    pending_dup = false;
   }
-  if (pending.valid && !pending_dup) emit(r, &pending);
+  emitter.finish();
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block-parallel scan
+// ---------------------------------------------------------------------------
+
+// One batch of raw BGZF members sliced off the compressed stream.
+struct Batch {
+  int64_t seq = 0;
+  std::vector<uint8_t> raw;          // concatenated whole gzip members
+  std::vector<size_t> offsets;       // member start offsets (+end sentinel)
+  std::vector<uint32_t> isizes;      // uncompressed size per member
+  bool last = false;
+};
+
+// Parsed output of one batch.
+struct ChunkOut {
+  int64_t seq = 0;
+  bool has_newline = false;
+  std::string head;                  // text before first '\n'
+  std::string tail;                  // text after last '\n' (or all text)
+  std::vector<Record> records;       // complete interior lines, in order
+  std::string error;
+};
+
+class BoundedQueue {
+ public:
+  explicit BoundedQueue(size_t cap) : cap_(cap) {}
+
+  void push(std::unique_ptr<Batch> b) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_push_.wait(lk, [&] { return q_.size() < cap_ || closed_; });
+    if (closed_) return;
+    q_.push_back(std::move(b));
+    cv_pop_.notify_one();
+  }
+
+  std::unique_ptr<Batch> pop() {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_pop_.wait(lk, [&] { return !q_.empty() || done_ || closed_; });
+    if (q_.empty()) return nullptr;
+    auto b = std::move(q_.front());
+    q_.pop_front();
+    cv_push_.notify_one();
+    return b;
+  }
+
+  void set_done() {
+    std::lock_guard<std::mutex> lk(mu_);
+    done_ = true;
+    cv_pop_.notify_all();
+  }
+
+  void close() {  // abort: unblock everyone, drop queued work
+    std::lock_guard<std::mutex> lk(mu_);
+    closed_ = true;
+    q_.clear();
+    cv_pop_.notify_all();
+    cv_push_.notify_all();
+  }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_push_, cv_pop_;
+  std::deque<std::unique_ptr<Batch>> q_;
+  size_t cap_;
+  bool done_ = false;
+  bool closed_ = false;
+};
+
+// Reorder buffer: workers deposit ChunkOuts by sequence number, the
+// coordinator consumes them strictly in order.
+class ReorderBuffer {
+ public:
+  void put(std::unique_ptr<ChunkOut> c) {
+    std::lock_guard<std::mutex> lk(mu_);
+    ready_[c->seq] = std::move(c);
+    cv_.notify_all();
+  }
+
+  // Blocks until chunk `seq` is available or all workers exited.
+  std::unique_ptr<ChunkOut> take(int64_t seq, std::atomic<int>* live_workers) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [&] {
+      return ready_.count(seq) > 0 || live_workers->load() == 0;
+    });
+    auto it = ready_.find(seq);
+    if (it == ready_.end()) return nullptr;
+    auto c = std::move(it->second);
+    ready_.erase(it);
+    return c;
+  }
+
+  void notify() { cv_.notify_all(); }
+
+ private:
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::map<int64_t, std::unique_ptr<ChunkOut>> ready_;
+};
+
+// Reads one BGZF member header from `fp`; returns the total member size
+// (BSIZE+1) and copies the 18+ header bytes already consumed into `hdr`.
+// Returns 0 on clean EOF, -1 if the stream is not BGZF.
+int64_t read_bgzf_member_header(FILE* fp, std::vector<uint8_t>* hdr) {
+  uint8_t fixed[12];
+  size_t n = fread(fixed, 1, sizeof(fixed), fp);
+  if (n == 0) return 0;
+  if (n < sizeof(fixed) || fixed[0] != 0x1f || fixed[1] != 0x8b ||
+      fixed[2] != 0x08 || (fixed[3] & 0x04) == 0) {
+    return -1;
+  }
+  uint16_t xlen = static_cast<uint16_t>(fixed[10] | (fixed[11] << 8));
+  std::vector<uint8_t> extra(xlen);
+  if (fread(extra.data(), 1, xlen, fp) != xlen) return -1;
+  int64_t bsize = -1;
+  for (size_t i = 0; i + 4 <= extra.size();) {
+    uint8_t si1 = extra[i], si2 = extra[i + 1];
+    uint16_t slen = static_cast<uint16_t>(extra[i + 2] | (extra[i + 3] << 8));
+    if (si1 == 'B' && si2 == 'C' && slen == 2 && i + 6 <= extra.size()) {
+      bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+      break;
+    }
+    i += 4 + slen;
+  }
+  if (bsize < 0) return -1;
+  hdr->assign(fixed, fixed + sizeof(fixed));
+  hdr->insert(hdr->end(), extra.begin(), extra.end());
+  return bsize;
+}
+
+// Inflate one whole BGZF member (raw deflate payload) into `out`.
+bool inflate_member(const uint8_t* member, size_t member_len, uint32_t isize,
+                    size_t hdr_len, std::string* out) {
+  if (member_len < hdr_len + 8) return false;
+  size_t base = out->size();
+  out->resize(base + isize);
+  if (isize == 0) return true;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(member + hdr_len);
+  zs.avail_in = static_cast<uInt>(member_len - hdr_len - 8);
+  zs.next_out = reinterpret_cast<uint8_t*>(&(*out)[base]);
+  zs.avail_out = isize;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END && zs.avail_out == 0;
+}
+
+// Parse the complete lines of `text`, filling `out`.  Must only be
+// called once the header is known.
+void parse_chunk_text(const std::string& text, int64_t n_haplotypes,
+                      int64_t row_bytes, ChunkOut* out) {
+  const char* data = text.data();
+  size_t len = text.size();
+  const char* first_nl =
+      static_cast<const char*>(memchr(data, '\n', len));
+  if (first_nl == nullptr) {
+    out->has_newline = false;
+    out->tail.assign(data, len);
+    return;
+  }
+  out->has_newline = true;
+  out->head.assign(data, static_cast<size_t>(first_nl - data));
+  const char* p = first_nl + 1;
+  const char* end = data + len;
+  Record rec;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(
+        memchr(p, '\n', static_cast<size_t>(end - p)));
+    if (nl == nullptr) {
+      out->tail.assign(p, static_cast<size_t>(end - p));
+      return;
+    }
+    size_t llen = static_cast<size_t>(nl - p);
+    if (llen > 0 && p[0] != '#') {
+      switch (parse_data_line(p, llen, n_haplotypes, row_bytes, &rec,
+                              &out->error)) {
+        case LineVerdict::kKept:
+          out->records.push_back(std::move(rec));
+          break;
+        case LineVerdict::kSkipped:
+          break;
+        case LineVerdict::kError:
+          return;
+      }
+    }
+    p = nl + 1;
+  }
+}
+
+void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
+  FILE* fp = fopen(path, "rb");
+  if (fp == nullptr) {
+    r->error = std::string("cannot open ") + path;
+    return;
+  }
+
+  // --- Phase 0: sequentially inflate members until #CHROM is seen. ---
+  // 1000G headers are a few KiB, so this covers at most a member or two.
+  std::string head_text;
+  bool have_header = false;
+  size_t data_start_in_head = 0;
+  std::atomic<bool> abort{false};
+  while (!have_header) {
+    std::vector<uint8_t> hdr;
+    int64_t member_size = read_bgzf_member_header(fp, &hdr);
+    if (member_size == 0) break;  // EOF before header
+    if (member_size < 0) {
+      fclose(fp);
+      // Not BGZF: plain gzip or raw text -> single-threaded fallback.
+      scan_single_threaded(path, r);
+      return;
+    }
+    std::vector<uint8_t> member(hdr);
+    member.resize(static_cast<size_t>(member_size));
+    size_t rest = static_cast<size_t>(member_size) - hdr.size();
+    if (fread(member.data() + hdr.size(), 1, rest, fp) != rest) {
+      r->error = "truncated BGZF member";
+      fclose(fp);
+      return;
+    }
+    uint32_t isize;
+    memcpy(&isize, member.data() + member.size() - 4, 4);
+    if (!inflate_member(member.data(), member.size(), isize, hdr.size(),
+                        &head_text)) {
+      r->error = "BGZF inflate failed in header";
+      fclose(fp);
+      return;
+    }
+    // look for a completed #CHROM line
+    size_t scan_from = 0;
+    while (true) {
+      const char* nl = static_cast<const char*>(
+          memchr(head_text.data() + scan_from, '\n',
+                 head_text.size() - scan_from));
+      if (nl == nullptr) break;
+      size_t line_start = scan_from;
+      size_t llen = static_cast<size_t>(nl - (head_text.data() + scan_from));
+      scan_from += llen + 1;
+      if (llen >= 6 &&
+          memcmp(head_text.data() + line_start, "#CHROM", 6) == 0) {
+        size_t hl = llen;
+        if (hl > 0 && head_text[line_start + hl - 1] == '\r') --hl;
+        parse_chrom_header(head_text.data() + line_start, hl, r);
+        have_header = true;
+        data_start_in_head = scan_from;
+        break;
+      }
+      if (head_text[line_start] != '#') {
+        r->error = "no #CHROM header before data lines";
+        fclose(fp);
+        return;
+      }
+    }
+  }
+  if (!have_header) {
+    // Header never completed: empty/els header-only file.
+    if (!head_text.empty() && head_text[0] != '#') {
+      r->error = "no #CHROM header before data lines";
+    }
+    fclose(fp);
+    return;
+  }
+
+  const int64_t n_hap = r->n_haplotypes;
+  const int64_t row_bytes = r->row_bytes;
+
+  // --- Phase 1: reader thread slices batches, workers inflate+parse. ---
+  const size_t kBatchBytes = 512 << 10;  // compressed bytes per work item: small
+  // enough that even a few-MB fixture fans out, coarse enough (~10 MB of
+  // text at typical VCF ratios) that queue + seam overhead stays noise
+  BoundedQueue in_queue(static_cast<size_t>(2 * n_threads + 2));
+  ReorderBuffer reorder;
+  std::atomic<int> live_workers{n_threads};
+  std::atomic<int64_t> n_batches{-1};
+
+  std::thread reader([&] {
+    int64_t seq = 1;  // seq 0 is the head_text remainder
+    auto batch = std::make_unique<Batch>();
+    batch->seq = seq;
+    std::string reader_error;
+    while (!abort.load(std::memory_order_relaxed)) {
+      std::vector<uint8_t> hdr;
+      int64_t member_size = read_bgzf_member_header(fp, &hdr);
+      if (member_size == 0) break;
+      if (member_size < 0) {
+        reader_error = "non-BGZF member mid-stream";
+        break;
+      }
+      size_t base = batch->raw.size();
+      batch->offsets.push_back(base);
+      batch->raw.resize(base + static_cast<size_t>(member_size));
+      memcpy(batch->raw.data() + base, hdr.data(), hdr.size());
+      size_t rest = static_cast<size_t>(member_size) - hdr.size();
+      if (fread(batch->raw.data() + base + hdr.size(), 1, rest, fp) != rest) {
+        reader_error = "truncated BGZF member";
+        break;
+      }
+      uint32_t isize;
+      memcpy(&isize, batch->raw.data() + base + member_size - 4, 4);
+      batch->isizes.push_back(isize);
+      if (batch->raw.size() >= kBatchBytes) {
+        batch->offsets.push_back(batch->raw.size());
+        in_queue.push(std::move(batch));
+        batch = std::make_unique<Batch>();
+        batch->seq = ++seq;
+      }
+    }
+    if (!batch->isizes.empty()) {
+      batch->offsets.push_back(batch->raw.size());
+      in_queue.push(std::move(batch));
+    } else {
+      --seq;
+    }
+    if (!reader_error.empty()) {
+      auto c = std::make_unique<ChunkOut>();
+      c->seq = seq + 1;
+      c->error = std::move(reader_error);
+      reorder.put(std::move(c));
+      n_batches.store(seq + 1);
+    } else {
+      n_batches.store(seq);
+    }
+    in_queue.set_done();
+  });
+
+  std::vector<std::thread> workers;
+  for (int w = 0; w < n_threads; ++w) {
+    workers.emplace_back([&] {
+      while (true) {
+        auto batch = in_queue.pop();
+        if (batch == nullptr) break;
+        auto out = std::make_unique<ChunkOut>();
+        out->seq = batch->seq;
+        std::string text;
+        size_t total = 0;
+        for (uint32_t is : batch->isizes) total += is;
+        text.reserve(total);
+        bool ok = true;
+        for (size_t m = 0; m + 1 < batch->offsets.size(); ++m) {
+          size_t off = batch->offsets[m];
+          size_t mlen = batch->offsets[m + 1] - off;
+          // header length = 12 fixed + XLEN
+          uint16_t xlen = static_cast<uint16_t>(
+              batch->raw[off + 10] | (batch->raw[off + 11] << 8));
+          if (!inflate_member(batch->raw.data() + off, mlen,
+                              batch->isizes[m], 12u + xlen, &text)) {
+            out->error = "BGZF inflate failed";
+            ok = false;
+            break;
+          }
+        }
+        if (ok && !abort.load(std::memory_order_relaxed)) {
+          parse_chunk_text(text, n_hap, row_bytes, out.get());
+        }
+        if (!out->error.empty()) abort.store(true);
+        reorder.put(std::move(out));
+      }
+      if (--live_workers == 0) reorder.notify();
+    });
+  }
+
+  // --- Phase 2: in-order merge with seam-line parsing and dedup. ---
+  DedupEmitter emitter(r);
+  std::string carry;
+  Record rec;
+
+  // Chunk 0: remainder of the header text (complete + partial lines).
+  {
+    std::string rest = head_text.substr(data_start_in_head);
+    ChunkOut c0;
+    parse_chunk_text("\n" + rest, n_hap, row_bytes, &c0);
+    if (!c0.error.empty()) {
+      r->error = c0.error;
+      abort.store(true);
+    } else {
+      for (auto& rr : c0.records) emitter.push(std::move(rr));
+      carry = std::move(c0.tail);
+    }
+  }
+
+  int64_t next_seq = 1;
+  while (r->error.empty()) {
+    int64_t total = n_batches.load();
+    if (total >= 0 && next_seq > total) break;
+    auto c = reorder.take(next_seq, &live_workers);
+    if (c == nullptr) {
+      // workers all gone; check whether the stream simply ended
+      total = n_batches.load();
+      if (total >= 0 && next_seq > total) break;
+      if (r->error.empty()) r->error = "BGZF scan aborted";
+      break;
+    }
+    if (!c->error.empty()) {
+      r->error = c->error;
+      break;
+    }
+    if (!c->has_newline) {
+      carry += c->tail;  // whole chunk was one partial line
+    } else {
+      std::string seam = carry + c->head;
+      if (!seam.empty() && seam[0] != '#') {
+        switch (parse_data_line(seam.data(), seam.size(), n_hap, row_bytes,
+                                &rec, &r->error)) {
+          case LineVerdict::kKept:
+            emitter.push(std::move(rec));
+            break;
+          case LineVerdict::kSkipped:
+            break;
+          case LineVerdict::kError:
+            break;
+        }
+        if (!r->error.empty()) break;
+      }
+      for (auto& rr : c->records) emitter.push(std::move(rr));
+      carry = std::move(c->tail);
+    }
+    ++next_seq;
+  }
+  if (!r->error.empty()) abort.store(true);
+
+  // final dangling line (file without trailing newline)
+  if (r->error.empty() && !carry.empty() && carry[0] != '#') {
+    switch (parse_data_line(carry.data(), carry.size(), n_hap, row_bytes,
+                            &rec, &r->error)) {
+      case LineVerdict::kKept:
+        emitter.push(std::move(rec));
+        break;
+      default:
+        break;
+    }
+  }
+  if (r->error.empty()) emitter.finish();
+
+  in_queue.close();
+  reader.join();
+  for (auto& w : workers) w.join();
+  fclose(fp);
+
+  if (!r->error.empty()) {
+    // drop any partially-emitted rows so callers never see torn output
+    r->n_variants = 0;
+    r->packed.clear();
+    r->positions.clear();
+    r->rsids.clear();
+    r->refs.clear();
+    r->alts.clear();
+    r->vts.clear();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+VpResult* vp_scan_mt(const char* path, int32_t n_threads) {
+  VpResult* r = new VpResult();
+  if (n_threads <= 1) {
+    scan_single_threaded(path, r);
+  } else {
+    scan_bgzf_parallel(path, static_cast<int>(n_threads), r);
+  }
   return r;
 }
+
+VpResult* vp_scan(const char* path) { return vp_scan_mt(path, 1); }
 
 int64_t vp_n_variants(VpResult* r) { return r->n_variants; }
 int64_t vp_n_haplotypes(VpResult* r) { return r->n_haplotypes; }
