@@ -38,6 +38,37 @@ def _env(n_samples, chrom_variant_counts, seed=0):
     return d, db, rs
 
 
+def config0():
+    """Ingest: native BGZF scanner throughput (single vs multi-thread)."""
+    import os
+    import tempfile
+
+    from ld_tools_tpu.ingest import native, synth
+
+    rng = np.random.default_rng(0)
+    n_samples, n_var = 2504, 6000
+    G = synth.correlated_haplotypes(rng, n_var, 2 * n_samples)
+    names = [f"S{i:05d}" for i in range(n_samples)]
+    d = tempfile.mkdtemp(prefix="tpu_ld_ingest_bench_")
+    path = os.path.join(d, "1.vcf.gz")
+    synth.write_vcf(path, "1", names, G)
+    text_bytes = n_var * (2 * n_samples * 2 + 60)
+    for n_threads in (1, os.cpu_count() or 1):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out = native.scan_vcf_packed(path, n_threads=n_threads)
+            best = min(best, time.time() - t0)
+        if out is None:
+            print("config0 ingest: native scanner unavailable")
+            return
+        print(
+            f"config0 ingest nt={n_threads}: {best:.2f}s, "
+            f"{text_bytes / best / 1e6:.0f} MB/s VCF text, "
+            f"{n_var / best:.0f} variants/s"
+        )
+
+
 def config1():
     from ld_tools_tpu.tools import lite
 
@@ -141,12 +172,12 @@ def config5():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--configs", default="1,2,3,4,5",
+        "--configs", default="0,1,2,3,4,5",
         help="comma list of config numbers to run",
     )
     args = parser.parse_args()
-    table = {"1": config1, "2": config2, "3": config3, "4": config4,
-             "5": config5}
+    table = {"0": config0, "1": config1, "2": config2, "3": config3,
+             "4": config4, "5": config5}
     for c in args.configs.split(","):
         table[c.strip()]()
 
