@@ -18,8 +18,27 @@ import numpy as np
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
-_SRC = os.path.join(_REPO_ROOT, "native", "vcfpack.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native", "libvcfpack.so")
+_SRC = os.environ.get(
+    "TPU_LD_NATIVE_SRC", os.path.join(_REPO_ROOT, "native", "vcfpack.cpp")
+)
+
+
+def _lib_path() -> str:
+    src_dir = os.path.dirname(_SRC)
+    if os.access(src_dir, os.W_OK):
+        return os.path.join(src_dir, "libvcfpack.so")
+    # installed read-only (e.g. site-packages): build into a user cache
+    cache = os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+        ),
+        "tpu_ld",
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libvcfpack.so")
+
+
+_LIB = _lib_path()
 
 _lock = threading.Lock()
 _lib_handle = None
