@@ -2,29 +2,49 @@
 """Headline benchmark: all-pairs r^2 variant-pairs/sec/chip.
 
 BASELINE.md primary metric: variant-pairs/sec/chip on the ld_triangle
-all-pairs r^2 sweep (10k-variant matrix).  The device path is the fused
-Pallas lower-triangle kernel (ops/ld_pallas.py); the baseline is the
-measured throughput of the reference's pure-Python per-pair kernel
+all-pairs r^2 sweep (10k-variant matrix).  The device path is the dense
+int8-MXU lower-triangle Pallas kernel with the divide-free r^2 epilogue
+(ops/ld_pallas.py), fed from the store's bitpacked matrix via one device
+unpack — the production ld_triangle/ld_scan fast path.  The baseline is
+the measured throughput of the reference's pure-Python per-pair kernel
 (backend/calc_ld.py semantics, reimplemented in tests/oracle.py) on the
 same 5,008-haplotype vectors — conservative, since the real reference
 also re-fetches genotypes from VCF per pair (ld_triangle.py:158-186).
+
+Timing methodology (the RPC-relayed device memoizes whole executions
+with repeated inputs, XLA hoists loop-invariant calls, and first
+executions pay a program-load cost proportional to program size — all
+three must be defeated):
+  - one jitted program runs n sweeps over 4 genuinely-different datasets
+    (cycling), with a per-sweep, per-execution input jitter derived from
+    a seed argument -> no CSE between sweeps, no relay memoization
+    between runs;
+  - each compiled program is executed once untimed (program load), then
+    timed over 3 executions with distinct seeds (min);
+  - per-sweep device time = (T(12 sweeps) - T(4 sweeps)) / 8: dispatch
+    and result-transfer overheads cancel in the difference.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+N_HAP = 5008
+N_SETS = 4
+N_LO, N_HI = 4, 12
 
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_baseline_pairs_per_sec(n_hap: int = 5008) -> float:
+def measure_baseline_pairs_per_sec(n_hap: int = N_HAP) -> float:
     """Reference per-pair Python kernel rate on 1000G-scale vectors."""
     sys.path.insert(0, ".")
     from tests.oracle import oracle_ld
@@ -40,6 +60,68 @@ def measure_baseline_pairs_per_sec(n_hap: int = 5008) -> float:
     return n_pairs / dt
 
 
+def _time_tpu_sweep(v: int, block: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ld_tools_tpu.ops.ld_pallas import (
+        _ld_triangle_call,
+        _triangle_coords,
+        pack_rows,
+        unpack_rows_device,
+    )
+
+    v_pad = -(-v // block) * block
+    hp8_pad = 640  # 5,008 haplotypes -> 626 bytes -> 16-aligned 640
+    rng = np.random.default_rng(0)
+    datasets = []
+    for _ in range(N_SETS):
+        freqs = rng.uniform(0.05, 0.95, size=(v_pad, 1))
+        G = (rng.random((v_pad, N_HAP)) < freqs).astype(np.uint8)
+        Gw = np.zeros((v_pad, hp8_pad * 8), dtype=np.uint8)
+        Gw[:, :N_HAP] = G
+        gp = jnp.asarray(pack_rows(Gw))
+        g_dense = unpack_rows_device(gp)  # the production unpack-once path
+        c1 = jnp.asarray(Gw.astype(np.float32).sum(1, keepdims=True))
+        g_dense.block_until_ready()
+        datasets.append((g_dense, c1))
+    bi_np, bj_np = _triangle_coords(v_pad // block)
+    bi = jnp.asarray(bi_np)
+    bj = jnp.asarray(bj_np)
+    n_arr = jnp.asarray([N_HAP], dtype=np.int32)
+    n_blocks = len(bi_np)
+
+    from ld_tools_tpu.utils.profiling import honest_sweep_seconds
+
+    def many(n):
+        def fn(datasets, seed):
+            acc = jnp.float32(0.0)
+            for i in range(n):
+                g, c1 = datasets[i % N_SETS]
+                c1j = c1 * (1.0 + seed * np.float32((i + 1) * 1e-7))
+                r2, _ = _ld_triangle_call(
+                    g, c1j, bi, bj, n_arr,
+                    block_m=block, block_n=block, interpret=False,
+                    want_dprime=False, mxu_dtype=jnp.int8, epilogue="fast",
+                )
+                acc = acc + r2[0, 0]
+            return acc
+        return fn
+
+    t0 = time.perf_counter()
+    for attempt in range(3):
+        dt, times = honest_sweep_seconds(many, datasets, n_lo=N_LO, n_hi=N_HI)
+        _log(f"compile+warm+measure: {time.perf_counter() - t0:.1f}s "
+             f"[T{N_LO}={times[N_LO]*1e3:.1f}ms "
+             f"T{N_HI}={times[N_HI]*1e3:.1f}ms]")
+        # a relay hiccup can return a nonsense pair (e.g. T_hi < T_lo);
+        # remeasure rather than report a negative rate
+        if dt > 0 and times[N_HI] > times[N_LO] * 1.05:
+            break
+        _log("implausible timing pair; remeasuring")
+    return dt, n_blocks
+
+
 def _run(on_tpu_requested):
     import jax
 
@@ -47,81 +129,19 @@ def _run(on_tpu_requested):
     on_tpu = on_tpu_requested and backend not in ("cpu",)
     _log(f"backend: {backend} devices: {jax.devices()}")
 
-    n_hap = 5008
     v = 10240 if on_tpu else 1024
-    rng = np.random.default_rng(0)
-    freqs = rng.uniform(0.05, 0.95, size=(v, 1))
-    G = (rng.random((v, n_hap)) < freqs).astype(np.int8)
     pairs = v * (v + 1) / 2
+    h_pad = 5120
 
     if on_tpu:
-        import functools
-
-        import jax.numpy as jnp
-
-        from ld_tools_tpu.ops.ld_pallas import (
-            _ld_triangle_call,
-            _triangle_coords,
-            pack_rows,
-        )
         from ld_tools_tpu.utils.profiling import Roofline
 
-        # bitpacked inputs (8 haplotypes/byte, the store's disk format)
-        # feed int8 bit-plane MXU matmuls: 8x less HBM input traffic and
-        # 2x the bf16 MXU rate; block 1024 amortizes the per-step VPU
-        # bit-plane unpack of the moving block best on v5e
-        block = 1024
-        h_pad_b = -(-n_hap // 1024) * 1024  # byte width x8 stays 128-align
-        v_pad = -(-v // block) * block
-        Gp = np.zeros((v_pad, h_pad_b), dtype=np.uint8)
-        Gp[:v, :n_hap] = G
-        g_pad = jnp.asarray(pack_rows(Gp))
-        c1 = jnp.zeros((v_pad, 1), jnp.float32).at[:v].set(
-            jnp.asarray(G.astype(np.float32).sum(1, keepdims=True))
-        )
-        bi, bj = _triangle_coords(v_pad // block)
-        bi, bj = jnp.asarray(bi), jnp.asarray(bj)
-        n_arr = jnp.asarray([n_hap], dtype=np.int32)
-
-        @functools.partial(jax.jit, static_argnames=("reps",))
-        def tri_loop(g, c1, seed, reps):
-            # data-dependent chaining defeats in-program CSE (acc * 0.0
-            # is not foldable under float semantics), and the distinct
-            # ``seed`` input per timed call defeats whole-execution
-            # memoization by any upstream relay: every timed run has
-            # fresh input values but identical per-sweep work
-            def body(i, acc):
-                c1c = c1 + acc * 0.0
-                # the headline metric is all-pairs r^2, so D' output
-                # (and its HBM writes) is elided
-                r2, _ = _ld_triangle_call(
-                    g, c1c, bi, bj, n_arr,
-                    block_m=block, block_n=block, interpret=False,
-                    want_dprime=False, mxu_dtype="packed",
-                )
-                return acc + r2[0, 0]
-            return jax.lax.fori_loop(0, reps, body, seed * 0.0)
-
-        reps = 60
-        t0 = time.perf_counter()
-        tri_loop(g_pad, c1, jnp.float32(0.0), reps).block_until_ready()
-        _log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
-
-        # honest wall clock: time whole fresh-input executions and take
-        # the best of 3; at 60 chained sweeps per call the per-call
-        # dispatch/RPC overhead is < 1% of the measured device time
-        dt = float("inf")
-        for trial in range(3):
-            seed = jnp.float32(trial + 1.0)
-            t0 = time.perf_counter()
-            tri_loop(g_pad, c1, seed, reps).block_until_ready()
-            dt = min(dt, (time.perf_counter() - t0) / reps)
-        n_blocks = len(bi)
+        block = int(os.environ.get("TPU_LD_BENCH_BLOCK", "512"))
+        dt, n_blocks = _time_tpu_sweep(v, block)
         roof = Roofline(
             n_pairs=pairs,
-            n_haplotypes_padded=h_pad_b,
-            bytes_moved=n_blocks * 2 * block * (h_pad_b // 8)
-            + n_blocks * block * block * 4,
+            n_haplotypes_padded=h_pad,
+            bytes_moved=n_blocks * (2 * block * h_pad + block * block * 4),
             int8_mxu=True,
         )
         _log(f"roofline: {roof.achieved(dt)}")
@@ -130,6 +150,9 @@ def _run(on_tpu_requested):
 
         from ld_tools_tpu.ops.ld_math import ld_block
 
+        rng = np.random.default_rng(0)
+        freqs = rng.uniform(0.05, 0.95, size=(v, 1))
+        G = (rng.random((v, N_HAP)) < freqs).astype(np.int8)
         fn = jax.jit(lambda g: ld_block(g, g)["r_square"])
         Gj = jnp.asarray(G)
         fn(Gj).block_until_ready()
@@ -141,14 +164,13 @@ def _run(on_tpu_requested):
         dt = (time.perf_counter() - t0) / reps
 
     pairs_per_sec = pairs / dt
-    h_pad = -(-n_hap // 128) * 128
     tflops = 2 * pairs * h_pad / dt / 1e12
     _log(
-        f"{v} variants x {n_hap} haplotypes: {dt * 1e3:.1f} ms/sweep, "
+        f"{v} variants x {N_HAP} haplotypes: {dt * 1e3:.2f} ms/sweep, "
         f"{pairs_per_sec / 1e9:.2f} Gpairs/s, ~{tflops:.1f} TFLOP/s effective"
     )
 
-    baseline = measure_baseline_pairs_per_sec(n_hap)
+    baseline = measure_baseline_pairs_per_sec(N_HAP)
     _log(f"reference python kernel: {baseline:.0f} pairs/s")
 
     print(

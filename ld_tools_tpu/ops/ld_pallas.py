@@ -7,13 +7,29 @@ matrix; this kernel enumerates ONLY the lower-triangle blocks
 (nb*(nb+1)/2 instead of nb^2 — ~2x less work) via a 1-D grid whose block
 coordinates are scalar-prefetched, and fuses everything into one pass:
 
-  HBM int8 G-blocks --DMA--> VMEM --bf16--> MXU counts --VPU epilogue-->
+  HBM int8 G-blocks --DMA--> VMEM --int8 MXU counts--> VPU epilogue -->
   r^2 / D' output tiles.
 
-Counts are exact (0/1 values, f32 accumulation, H < 2^24), so the result
-matches ops/ld_math.ld_from_counts elementwise; file outputs still go
-through the bit-exact host finisher (ops/exact.py), while benchmarks and
-the array API consume this fused path.
+Counts are exact (0/1 values, int32 accumulation on the int8 MXU — which
+runs at 2x the bf16 rate on v5e+), so the result matches
+ops/ld_math.ld_from_counts elementwise; file outputs still go through the
+bit-exact host finisher (ops/exact.py), while benchmarks and the array
+API consume this fused path.
+
+Kernel menu (measured on a real v5e; 10,240 variants x 5,008 haplotypes):
+  - dense int8 + "fast" r^2 epilogue: ~88% of the int8 MXU peak — the
+    headline configuration.  The fast epilogue is divide- and
+    select-free: r^2 = (c/N - p1*p2)^2 * ipq1 * ipq2 with the per-variant
+    reciprocals ipq = 1/(p*q) (0 when monomorphic) precomputed outside
+    the kernel; it differs from the exact-order epilogue only at f32
+    ulp level (~1e-6), far below the 4-dp output rounding.
+  - dense int8 + exact-order epilogue (r^2 and/or D'): bitwise-matching
+    ld_math.ld_from_counts.
+  - bit-plane "packed" kernel: operates straight on the store's bitpacked
+    uint8 bytes, 8x less HBM input traffic; pays a per-step VPU unpack
+    (~62% of peak) — used when HBM residency matters more than rate.
+Single int8 dots are K-chunked (Mosaic's int8 matmul allocates scoped
+VMEM proportional to block_m x K; oversize dots abort compilation).
 
 Reference for the math being fused: backend/calc_ld.py:30-90.
 """
@@ -71,7 +87,55 @@ def _ld_epilogue(c_ab, c1_col, c2_row, inv_n, n, want_dprime=True):
     return r_square, d_prime
 
 
-def _tri_kernel(
+def _ipq_from_counts(c1, n):
+    """Per-variant reciprocal 1/(p*q), 0 when monomorphic.
+
+    Precomputed once per matrix (outside the kernels) for the fast r^2
+    epilogue: r^2 = d^2 * ipq1 * ipq2 needs no divide, no compare, and no
+    select in the (BM, BN) inner tile — the monomorphic/d==0 sentinel of
+    reference calc_ld.py:63-90 falls out arithmetically (ipq == 0 zeroes
+    monomorphic cells; d == 0 zeroes itself).
+    """
+    p = c1 / n
+    pq = p * (1.0 - p)
+    zero = pq == 0.0
+    return jnp.where(zero, 0.0, 1.0 / jnp.where(zero, 1.0, pq))
+
+
+def _apply_epilogue(c_ab_i32, n_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
+                    r2_ref, dp_ref, epilogue):
+    """Shared count->LD tile finish for every triangle kernel flavor."""
+    c = c_ab_i32.astype(jnp.float32)
+    n = n_ref[0].astype(jnp.float32)
+    inv_n = 1.0 / n
+    if epilogue == "fast":
+        p1 = c1_ref[:] * inv_n
+        p2 = c2_ref[:].T * inv_n
+        d = c * inv_n - p1 * p2
+        r2_ref[:] = (d * d) * (ipq1_ref[:] * ipq2_ref[:].T)
+    else:
+        r2, dp = _ld_epilogue(c, c1_ref[:], c2_ref[:].T, inv_n, n,
+                              want_dprime=dp_ref is not None)
+        r2_ref[:] = r2
+        if dp_ref is not None:
+            dp_ref[:] = dp
+
+
+def _int8_k_chunk(block_m: int, h_pad: int, heavy_epilogue: bool) -> int:
+    """K-chunk for int8 MXU dots inside a kernel.
+
+    Mosaic allocates scoped VMEM proportional to block_m x K for an int8
+    matmul; a (1024, 5120) dot with the exact-order epilogue aborts
+    compilation ("scoped vmem limit exceeded").  Empirically (v5e):
+    block_m*K <= 1024*5120 compiles with the fast epilogue and
+    <= 1024*2560 with the exact-order one; chunked dots accumulate in
+    int32 (exact).
+    """
+    budget = 1024 * (2560 if heavy_epilogue else 5120)
+    return max(128, min(h_pad, (budget // max(block_m, 1)) // 128 * 128))
+
+
+def _tri_kernel_dense(
     bi_ref,  # scalar-prefetch: block-row index per grid step
     bj_ref,  # scalar-prefetch: block-col index per grid step
     n_ref,   # scalar-prefetch: [n_haplotypes]
@@ -79,20 +143,31 @@ def _tri_kernel(
     b_ref,   # (BN, H) int8 cols block
     c1_ref,  # (BM, 1) f32 alt counts of rows
     c2_ref,  # (BN, 1) f32 alt counts of cols
+    ipq1_ref,  # (BM, 1) f32 1/(p*q) of rows (0 if monomorphic)
+    ipq2_ref,  # (BN, 1) f32 1/(p*q) of cols
     r2_ref,  # out (BM, BN) f32
     dp_ref=None,  # optional out (BM, BN) f32
     *,
-    mxu_dtype=jnp.bfloat16,
+    mxu_dtype=jnp.int8,
+    epilogue="exact",
+    k_chunk=None,
 ):
+    ktot = a_ref.shape[1]
+    if k_chunk is None:
+        k_chunk = ktot
     if mxu_dtype == jnp.int8:
         # v5e+ runs int8 x int8 -> int32 on the MXU at 2x the bf16 rate;
         # 0/1 counts are exact in either form
-        c_ab = jax.lax.dot_general(
-            a_ref[:],
-            b_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+        c_ab = None
+        for lo in range(0, ktot, k_chunk):
+            sl = slice(lo, min(lo + k_chunk, ktot))
+            part = jax.lax.dot_general(
+                a_ref[:, sl],
+                b_ref[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            c_ab = part if c_ab is None else c_ab + part
     else:
         c_ab = jax.lax.dot_general(
             a_ref[:].astype(mxu_dtype),
@@ -100,15 +175,8 @@ def _tri_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    n = n_ref[0].astype(jnp.float32)
-    inv_n = 1.0 / n
-    c1 = c1_ref[:]          # (BM, 1) broadcasts down columns
-    c2 = c2_ref[:].T        # (1, BN) broadcasts across rows
-    r2, dp = _ld_epilogue(c_ab, c1, c2, inv_n, n,
-                          want_dprime=dp_ref is not None)
-    r2_ref[:] = r2
-    if dp_ref is not None:
-        dp_ref[:] = dp
+    _apply_epilogue(c_ab, n_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
+                    r2_ref, dp_ref, epilogue)
 
 
 def _tri_kernel_packed(
@@ -119,8 +187,11 @@ def _tri_kernel_packed(
     b_ref,   # (BN, HP8) uint8 bitpacked cols block
     c1_ref,  # (BM, 1) f32 alt counts of rows
     c2_ref,  # (BN, 1) f32 alt counts of cols
+    ipq1_ref,  # (BM, 1) f32 1/(p*q) of rows
+    ipq2_ref,  # (BN, 1) f32 1/(p*q) of cols
     r2_ref,  # out (BM, BN) f32
     *rest,   # optional dp out (BM, BN) f32, then a-planes VMEM scratch
+    epilogue="exact",
 ):
     """Bitpacked variant of _tri_kernel: HBM traffic drops 8x and the MXU
     runs int8 x int8 -> int32 at 2x the bf16 rate.
@@ -165,14 +236,8 @@ def _tri_kernel_packed(
             preferred_element_type=jnp.int32,
         )
         c_ab = part if c_ab is None else c_ab + part
-    c_ab = c_ab.astype(jnp.float32)
-    n = n_ref[0].astype(jnp.float32)
-    inv_n = 1.0 / n
-    r2, dp = _ld_epilogue(c_ab, c1_ref[:], c2_ref[:].T, inv_n, n,
-                          want_dprime=dp_ref is not None)
-    r2_ref[:] = r2
-    if dp_ref is not None:
-        dp_ref[:] = dp
+    _apply_epilogue(c_ab, n_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
+                    r2_ref, dp_ref, epilogue)
 
 
 def _triangle_coords(nb: int):
@@ -191,18 +256,33 @@ def _triangle_coords(nb: int):
     jax.jit,
     static_argnames=(
         "block_m", "block_n", "interpret", "want_dprime", "mxu_dtype",
+        "epilogue",
     ),
 )
 def _ld_triangle_call(
     g_pad, c1_pad, bi, bj, n_arr, *, block_m, block_n, interpret,
-    want_dprime=True, mxu_dtype=jnp.bfloat16,
+    want_dprime=True, mxu_dtype=jnp.int8, epilogue="exact",
 ):
+    if epilogue == "fast" and want_dprime:
+        raise ValueError("epilogue='fast' computes r^2 only; "
+                         "use want_dprime=False")
     v_pad, h_pad = g_pad.shape
     n_blocks = bi.shape[0]
+    ipq_pad = _ipq_from_counts(c1_pad, n_arr[0].astype(jnp.float32))
     if mxu_dtype == "packed":
         scratch_shapes = [pltpu.VMEM((block_m, 8 * h_pad), jnp.int8)]
+        kernel = functools.partial(_tri_kernel_packed, epilogue=epilogue)
     else:
         scratch_shapes = []
+        kernel = functools.partial(
+            _tri_kernel_dense,
+            mxu_dtype=mxu_dtype,
+            epilogue=epilogue,
+            k_chunk=_int8_k_chunk(
+                block_m, h_pad,
+                heavy_epilogue=(epilogue != "fast" or want_dprime),
+            ) if mxu_dtype == jnp.int8 else None,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         scratch_shapes=scratch_shapes,
@@ -215,6 +295,16 @@ def _ld_triangle_call(
             ),
             pl.BlockSpec(
                 (block_n, h_pad),
+                lambda k, bi, bj, n: (bj[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_m, 1),
+                lambda k, bi, bj, n: (bi[k], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block_n, 1),
                 lambda k, bi, bj, n: (bj[k], 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -245,10 +335,6 @@ def _ld_triangle_call(
     bytes_accessed = n_blocks * (
         (block_m + block_n) * h_pad + n_out * block_m * block_n * 4
     )
-    if mxu_dtype == "packed":
-        kernel = _tri_kernel_packed
-    else:
-        kernel = functools.partial(_tri_kernel, mxu_dtype=mxu_dtype)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -263,7 +349,7 @@ def _ld_triangle_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(bi, bj, n_arr, g_pad, g_pad, c1_pad, c1_pad)
+    )(bi, bj, n_arr, g_pad, g_pad, c1_pad, c1_pad, ipq_pad, ipq_pad)
     return out if want_dprime else (out[0], None)
 
 
@@ -271,11 +357,12 @@ def ld_triangle_matrix(
     G,
     n_haplotypes=None,
     *,
-    block_m: int = 1024,
-    block_n: int = 1024,
+    block_m: int = 512,
+    block_n: int = 512,
     interpret: bool = False,
     want_dprime: bool = True,
-    mxu_dtype=jnp.bfloat16,
+    mxu_dtype=jnp.int8,
+    epilogue: str = "exact",
 ):
     """All-pairs r^2/D' for G (V, H) {0,1}: lower-triangle blocks only.
 
@@ -283,6 +370,10 @@ def ld_triangle_matrix(
     triangle of any block-diagonal remainder undefined above the diagonal
     (callers take tril).  V and H are padded internally; padding rows are
     monomorphic so their cells finish as 0 via the sentinel branch.
+
+    ``epilogue="fast"`` (r^2 only) swaps the exact-order finish for the
+    divide-free form (see _ipq_from_counts) — the headline-benchmark
+    configuration, ~1e-6 off the exact-order f32 values.
     """
     G = jnp.asarray(G)
     v, h = G.shape
@@ -309,25 +400,50 @@ def ld_triangle_matrix(
         interpret=interpret,
         want_dprime=want_dprime,
         mxu_dtype=mxu_dtype,
+        epilogue=epilogue,
     )
     return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
+
+
+@jax.jit
+def unpack_rows_device(gp):
+    """(V, B) uint8 bitpacked rows -> (V, 8B) int8 {0,1}, on device.
+
+    MSB-first bit order, matching np.packbits / ingest/pack.py.  One XLA
+    pass over the packed bytes — used to inflate the store's bitpacked
+    matrix into the dense int8 kernel format (HBM holds V x 8B int8
+    afterwards; at chr21 scale, 100k x 5120 = 0.5 GB, comfortably HBM-
+    resident).
+    """
+    gp = jnp.asarray(gp, dtype=jnp.uint8)
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (gp[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(gp.shape[0], gp.shape[1] * 8).astype(jnp.int8)
 
 
 def ld_triangle_matrix_packed(
     gp,
     n_haplotypes: int,
     *,
-    block_m: int = 1024,
-    block_n: int = 1024,
+    block_m: int = 512,
+    block_n: int = 512,
     interpret: bool = False,
     want_dprime: bool = True,
+    epilogue: str = "exact",
+    kernel: str = "dense",
 ):
     """All-pairs r^2/D' straight from the BITPACKED store matrix.
 
     ``gp`` is the (V, ceil(H/8)) uint8 matrix exactly as ingest writes it
-    (ingest/pack.py: np.packbits over haplotype columns) -- the store
-    format IS the kernel format, so HBM holds 8x fewer input bytes than
-    the int8 path and the MXU runs at its int8 rate.  Elementwise-matches
+    (ingest/pack.py: np.packbits over haplotype columns).
+
+    ``kernel="dense"`` (default) inflates the bytes to int8 on device once
+    (unpack_rows_device) and runs the dense int8-MXU triangle kernel —
+    the fastest path (~88% of the chip's int8 peak) whenever the 8x
+    larger dense matrix fits HBM.  ``kernel="bitplane"`` keeps the bytes
+    packed end-to-end and unpacks bit-planes per tile inside the kernel:
+    8x less HBM residency/traffic, ~62% of peak — for whole-genome scans
+    where residency wins.  Both produce results elementwise-identical to
     ld_triangle_matrix on the unpacked matrix (padding bits are zero, so
     they add nothing to any count).
     """
@@ -337,7 +453,7 @@ def ld_triangle_matrix_packed(
     block_m = min(block_m, _round_up(v, 128))
     block_n = min(block_n, _round_up(v, 128))
     v_pad = _round_up(v, max(block_m, block_n))
-    hp8_pad = _round_up(hp8, 128)
+    hp8_pad = _round_up(hp8, 16 if kernel == "dense" else 128)
     gp_pad = jnp.zeros((v_pad, hp8_pad), dtype=jnp.uint8)
     gp_pad = jax.lax.dynamic_update_slice(gp_pad, gp, (0, 0))
     c1 = jnp.sum(
@@ -348,8 +464,14 @@ def ld_triangle_matrix_packed(
     nb = v_pad // block_m
     bi, bj = _triangle_coords(nb)
     n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
+    if kernel == "dense":
+        g_pad = unpack_rows_device(gp_pad)
+        mxu_dtype = jnp.int8
+    else:
+        g_pad = gp_pad
+        mxu_dtype = "packed"
     r2, dp = _ld_triangle_call(
-        gp_pad,
+        g_pad,
         c1,
         jnp.asarray(bi),
         jnp.asarray(bj),
@@ -358,7 +480,8 @@ def ld_triangle_matrix_packed(
         block_n=block_n,
         interpret=interpret,
         want_dprime=want_dprime,
-        mxu_dtype="packed",
+        mxu_dtype=mxu_dtype,
+        epilogue=epilogue,
     )
     return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
 
@@ -425,16 +548,23 @@ def ld_band_pallas(
 
 
 def _band_kernel(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref, dp_ref):
-    a = a_ref[:].astype(jnp.bfloat16)
-    b = b_ref[:].astype(jnp.bfloat16)
-    c_ab = jax.lax.dot_general(
-        a, b,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e+); dots
+    # are K-chunked under Mosaic's int8 scoped-VMEM budget (_int8_k_chunk)
+    ktot = a_ref.shape[1]
+    k_chunk = _int8_k_chunk(a_ref.shape[0], ktot, heavy_epilogue=True)
+    c_ab = None
+    for lo in range(0, ktot, k_chunk):
+        sl = slice(lo, min(lo + k_chunk, ktot))
+        part = jax.lax.dot_general(
+            a_ref[:, sl], b_ref[:, sl],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        c_ab = part if c_ab is None else c_ab + part
     n = n_ref[0, 0].astype(jnp.float32)
     inv_n = 1.0 / n
-    r2, dp = _ld_epilogue(c_ab, c1_ref[:], c2_ref[:].T, inv_n, n)
+    r2, dp = _ld_epilogue(c_ab.astype(jnp.float32), c1_ref[:], c2_ref[:].T,
+                          inv_n, n)
     r2_ref[:] = r2
     dp_ref[:] = dp
 

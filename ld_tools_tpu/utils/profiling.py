@@ -112,3 +112,41 @@ def device_seconds(run_reps, reps: int = 6) -> float:
     run_reps(reps)
     t2 = time.perf_counter()
     return max((t2 - t1) - (t1 - t0), 1e-9) / (reps - 1)
+
+
+def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
+                         n_hi: int = 12, trials: int = 3):
+    """Per-sweep device time, robust against every relay/XLA shortcut.
+
+    Three effects corrupt naive timings through the RPC-relayed device:
+    the relay memoizes whole executions with repeated input values; XLA
+    hoists/CSEs loop-invariant or identical calls (it folds float
+    ``x * 0.0`` chains, so "data-dependent chaining" via ``acc * 0.0`` is
+    NOT safe); and the first execution of a program pays a load cost
+    proportional to program size.
+
+    ``make_many(n)`` must return a jittable ``fn(datasets, seed)`` that
+    runs n sweeps, cycling over genuinely-different datasets and deriving
+    a per-sweep input jitter from ``seed`` (so different seeds give
+    different executions and different sweeps never share inputs).  Each
+    program is compiled, executed once untimed (program load), then timed
+    ``trials`` times with distinct seeds; per-sweep time is
+    ``(T(n_hi) - T(n_lo)) / (n_hi - n_lo)`` — constant overheads cancel.
+
+    Returns (per_sweep_seconds, {n: best_wall_seconds}).
+    """
+    import jax.numpy as jnp
+
+    times = {}
+    for n in (n_lo, n_hi):
+        fn = jax.jit(make_many(n))
+        compiled = fn.lower(datasets, jnp.float32(0.0)).compile()
+        compiled(datasets, jnp.float32(0.0)).block_until_ready()
+        best = float("inf")
+        for trial in range(trials):
+            seed = jnp.float32(trial + 1.0)
+            t0 = time.perf_counter()
+            compiled(datasets, seed).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo), times

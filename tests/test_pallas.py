@@ -39,10 +39,12 @@ def test_triangle_kernel_monomorphic_padding(rng):
     ) <= 1e-4
 
 
-def test_triangle_kernel_bitpacked_mode(rng):
-    """The bitpacked kernel (store bytes in, int8 MXU bit-plane matmuls)
-    must match the unpacked kernel elementwise, including monomorphic
-    sentinel rows and the r2-only epilogue specialization."""
+@pytest.mark.parametrize("kernel", ["dense", "bitplane"])
+def test_triangle_kernel_bitpacked_mode(rng, kernel):
+    """Both bitpacked entries (dense: device-unpack + int8 MXU; bitplane:
+    in-kernel bit-plane matmuls) must match the unpacked kernel
+    elementwise, including monomorphic sentinel rows and the r2-only
+    epilogue specialization."""
     from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix_packed, pack_rows
 
     # 150 haplotypes: not a multiple of 8, exercises partial-byte padding
@@ -55,10 +57,11 @@ def test_triangle_kernel_bitpacked_mode(rng):
     gp = pack_rows(G)
     assert gp.shape == (70, (150 + 7) // 8)
     r2_p, dp_p = ld_triangle_matrix_packed(
-        gp, 150, interpret=True, block_m=128, block_n=128
+        gp, 150, interpret=True, block_m=128, block_n=128, kernel=kernel
     )
     r2_only, none_dp = ld_triangle_matrix_packed(
-        gp, 150, interpret=True, block_m=128, block_n=128, want_dprime=False
+        gp, 150, interpret=True, block_m=128, block_n=128,
+        want_dprime=False, kernel=kernel
     )
     assert none_dp is None
     tri = np.tril_indices(70, 0)
@@ -78,10 +81,48 @@ def test_triangle_kernel_bitpacked_scratch_reuse(rng):
     G = random_haplotypes(rng, v, h, maf_low=0.05, maf_high=0.95)
     r2_ref, _ = ld_triangle_matrix(G, interpret=True, block_m=128, block_n=128)
     r2_p, _ = ld_triangle_matrix_packed(
-        pack_rows(G), h, interpret=True, block_m=128, block_n=128
+        pack_rows(G), h, interpret=True, block_m=128, block_n=128,
+        kernel="bitplane"
     )
     tri = np.tril_indices(v, 0)
     np.testing.assert_array_equal(np.asarray(r2_ref)[tri], np.asarray(r2_p)[tri])
+
+
+def test_unpack_rows_device_matches_packbits(rng):
+    from ld_tools_tpu.ops.ld_pallas import pack_rows, unpack_rows_device
+
+    G = random_haplotypes(rng, 9, 67, maf_low=0.05, maf_high=0.95)
+    gp = pack_rows(G)
+    up = np.asarray(unpack_rows_device(gp))
+    assert up.shape == (9, ((67 + 7) // 8) * 8)
+    np.testing.assert_array_equal(up[:, :67], G)
+    assert not up[:, 67:].any()  # padding bits are zero
+
+
+def test_triangle_kernel_fast_epilogue(rng):
+    """The divide-free r^2 epilogue: ~ulp-level agreement with the
+    exact-order epilogue, exact zeros for monomorphic rows, and rejection
+    of the (unsupported) D' combination."""
+    G = random_haplotypes(rng, 60, 140, maf_low=0.02, maf_high=0.98)
+    G[7] = 0   # monomorphic ref
+    G[11] = 1  # monomorphic alt
+    r2_exact, _ = ld_triangle_matrix(
+        G, interpret=True, block_m=128, block_n=128, want_dprime=False
+    )
+    r2_fast, none_dp = ld_triangle_matrix(
+        G, interpret=True, block_m=128, block_n=128, want_dprime=False,
+        epilogue="fast"
+    )
+    assert none_dp is None
+    tri = np.tril_indices(60, 0)
+    a = np.asarray(r2_fast)[tri]
+    b = np.asarray(r2_exact)[tri]
+    assert np.max(np.abs(a - b)) <= 2e-5
+    fast = np.asarray(r2_fast)
+    assert not fast[7, :7].any() and not fast[11, :11].any()
+    with pytest.raises(ValueError):
+        ld_triangle_matrix(G, interpret=True, block_m=128, block_n=128,
+                           want_dprime=True, epilogue="fast")
 
 
 def test_triangle_kernel_int8_mode(rng):
