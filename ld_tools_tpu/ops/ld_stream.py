@@ -104,12 +104,14 @@ def _tile_ld(
                 c_ab = part if c_ab is None else c_ab + part
             c_ab = c_ab.astype(jnp.float32)
         else:
+            # int8 x int8 -> int32 runs the MXU at 2x the bf16 rate on
+            # v5e+ and the counts stay exact integers
             c_ab = jax.lax.dot_general(
-                g_rows.astype(jnp.bfloat16),
-                g_cols.astype(jnp.bfloat16),
+                g_rows,
+                g_cols,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
         out = ld_from_counts(c_ab, c1_rows[:, 0], c1_cols[:, 0], n_hap)
         r2, dp = out["r_square"], out["d_prime"]
 
@@ -438,14 +440,16 @@ def stream_threshold_scan(
                 f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
                 f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
-        # Group hit tiles into power-of-two cap buckets sized from pass
-        # 1's counts: result buffers (and relay transfer) stay
-        # proportional to actual hits, and each bucket fetches all its
-        # tiles in ONE device program.
+        # One power-of-two cap for the whole batch, sized from pass 1's
+        # max per-tile count.  Remote compilation dominates cold scans
+        # (~45 s per program through the RPC relay), so ONE fetch program
+        # per batch beats per-bucket-tight buffers: the extra transfer for
+        # low-count tiles is tens of MB, the saved compiles are minutes.
         buckets = {}
-        for t_idx in hit_idx:
-            cap = max(1024, 1 << (int(counts[t_idx]) - 1).bit_length())
-            buckets.setdefault(cap, []).append(int(t_idx))
+        if hit_idx.size:
+            cap = max(1024,
+                      1 << (int(counts[hit_idx].max()) - 1).bit_length())
+            buckets[cap] = [int(t) for t in hit_idx]
         for cap, idxs in sorted(buckets.items()):
             # pad the tile list to n_shards x power of two as well (scan
             # length is a static shape — unpadded it would recompile per
