@@ -5,7 +5,12 @@ BASELINE.md primary metric: variant-pairs/sec/chip on the ld_triangle
 all-pairs r^2 sweep (10k-variant matrix).  The device path is the dense
 int8-MXU lower-triangle Pallas kernel with the divide-free r^2 epilogue
 (ops/ld_pallas.py), fed from the store's bitpacked matrix via one device
-unpack — the production ld_triangle/ld_scan fast path.  The baseline is
+unpack.  This is the same configuration the shipping tools run: ld_scan's
+count pass defaults to the dense int8 band kernel with the same fast-r^2
+epilogue on TPU (ops/ld_stream.py `resident="auto"`, tools/scan.py
+`engine=auto`), and ld_triangle/ld_area produce counts with the identical
+int8 MXU dot (ops/engine.py) before the bit-exact host finish.  The
+baseline is
 the measured throughput of the reference's pure-Python per-pair kernel
 (backend/calc_ld.py semantics, reimplemented in tests/oracle.py) on the
 same 5,008-haplotype vectors — conservative, since the real reference
@@ -109,17 +114,28 @@ def _time_tpu_sweep(v: int, block: int):
         return fn
 
     t0 = time.perf_counter()
-    for attempt in range(3):
-        dt, times = honest_sweep_seconds(many, datasets, n_lo=N_LO, n_hi=N_HI)
+    n_attempts = 3
+    trials = 3
+    for attempt in range(n_attempts):
+        # distinct seeds per attempt: a retry must never replay input
+        # values the relay may have memoized from the failed measurement
+        dt, times = honest_sweep_seconds(
+            many, datasets, n_lo=N_LO, n_hi=N_HI, trials=trials,
+            seed_base=attempt * trials,
+        )
         _log(f"compile+warm+measure: {time.perf_counter() - t0:.1f}s "
              f"[T{N_LO}={times[N_LO]*1e3:.1f}ms "
              f"T{N_HI}={times[N_HI]*1e3:.1f}ms]")
         # a relay hiccup can return a nonsense pair (e.g. T_hi < T_lo);
         # remeasure rather than report a negative rate
         if dt > 0 and times[N_HI] > times[N_LO] * 1.05:
-            break
+            return dt, n_blocks
         _log("implausible timing pair; remeasuring")
-    return dt, n_blocks
+    # never report a rate derived from garbage timings: failing here makes
+    # the parent fall back to the (honestly labelled) CPU measurement
+    raise RuntimeError(
+        f"all {n_attempts} TPU timing attempts implausible (last dt={dt})"
+    )
 
 
 def _run(on_tpu_requested):
@@ -138,10 +154,21 @@ def _run(on_tpu_requested):
 
         block = int(os.environ.get("TPU_LD_BENCH_BLOCK", "512"))
         dt, n_blocks = _time_tpu_sweep(v, block)
+        # HBM bytes: the stationary a-block is DMA'd once per row run
+        # (v/block times — the pipeline skips reloading an unchanged
+        # block), the b-block once per grid step, plus one f32 r^2 output
+        # tile per step.  Modeling the a-block per-step double-counts
+        # ~40% of the traffic and reports >100% of roofline.
+        nb = v // block
+        bytes_moved = (
+            nb * block * h_pad          # a-blocks, int8
+            + n_blocks * block * h_pad  # b-blocks, int8
+            + n_blocks * block * block * 4  # r^2 output tiles
+        )
         roof = Roofline(
             n_pairs=pairs,
             n_haplotypes_padded=h_pad,
-            bytes_moved=n_blocks * (2 * block * h_pad + block * block * 4),
+            bytes_moved=bytes_moved,
             int8_mxu=True,
         )
         _log(f"roofline: {roof.achieved(dt)}")

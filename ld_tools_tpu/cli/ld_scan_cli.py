@@ -28,6 +28,8 @@ License: MIT
     "checkpoint": "Folder for per-batch scan checkpoints (resume after a kill)",
     "devices": "Shard scan tiles over this many local devices"
                " ('all' = every device; default: 1)",
+    "engine": "{auto, pallas, xla} Tile count kernel"
+              " (auto: fused Pallas band kernel on TPU, XLA elsewhere)",
 }
 
 TEXT_RU = {
@@ -53,6 +55,8 @@ TEXT_RU = {
     "checkpoint": "Папка для почанковых чекпоинтов скана (возобновление после сбоя)",
     "devices": "Шардировать тайлы скана на столько локальных устройств"
                " ('all' = все; по умолчанию: 1)",
+    "engine": "{auto, pallas, xla} Ядро подсчёта тайлов"
+              " (auto: слитное Pallas-ядро на TPU, XLA иначе)",
 }
 
 
@@ -106,6 +110,11 @@ def build_parser(ver: str, text: dict) -> ArgumentParser:
     parser.add_argument(
         "-d", "--devices", metavar="[1]", dest="devices",
         type=str, help=text["devices"],
+    )
+    parser.add_argument(
+        "-E", "--engine", metavar="[auto]",
+        choices=["auto", "pallas", "xla"], default="auto", dest="engine",
+        type=str, help=text["engine"],
     )
     return parser
 

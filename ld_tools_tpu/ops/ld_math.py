@@ -47,6 +47,21 @@ def haplotype_counts(g1: jax.Array, g2: jax.Array) -> jax.Array:
     )
 
 
+def haplotype_counts_int8(g1: jax.Array, g2: jax.Array) -> jax.Array:
+    """int8 x int8 -> int32 co-occurrence counts on the MXU.
+
+    Identical exact integers to :func:`haplotype_counts`, but the int8
+    MXU path runs at 2x the bf16 rate on v5e+ — this is the production
+    engine's count kernel (ops/engine.py).  Inputs must hold {0, 1}.
+    """
+    return jax.lax.dot_general(
+        g1.astype(jnp.int8),
+        g2.astype(jnp.int8),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def allele_counts(g: jax.Array) -> jax.Array:
     """Per-variant alt-allele counts (row sums), exact in f32.
 

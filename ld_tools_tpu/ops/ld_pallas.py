@@ -21,8 +21,11 @@ Kernel menu (measured on a real v5e; 10,240 variants x 5,008 haplotypes):
     headline configuration.  The fast epilogue is divide- and
     select-free: r^2 = (c/N - p1*p2)^2 * ipq1 * ipq2 with the per-variant
     reciprocals ipq = 1/(p*q) (0 when monomorphic) precomputed outside
-    the kernel; it differs from the exact-order epilogue only at f32
-    ulp level (~1e-6), far below the 4-dp output rounding.
+    the kernel; it agrees with the exact-order epilogue to within the
+    tested 2e-5 bound (tests/test_pallas.py).  A value that close to a
+    .00005 decimal boundary can still flip the 4th decimal, so 4-dp
+    output parity is guaranteed only via the bit-exact host finisher
+    (ops/exact.py), which every file-writing path uses.
   - dense int8 + exact-order epilogue (r^2 and/or D'): bitwise-matching
     ld_math.ld_from_counts.
   - bit-plane "packed" kernel: operates straight on the store's bitpacked
@@ -332,8 +335,16 @@ def _ld_triangle_call(
     # for packed input h_pad is the BYTE width: 8 haplotype MACs per byte
     h_macs = h_pad * 8 if mxu_dtype == "packed" else h_pad
     flops = 2 * n_blocks * block_m * block_n * h_macs
-    bytes_accessed = n_blocks * (
-        (block_m + block_n) * h_pad + n_out * block_m * block_n * 4
+    # the row-major triangle walk keeps the a-block stationary across each
+    # row run, and the pipeline skips the DMA for an unchanged block: the
+    # a operand is fetched once per DISTINCT bi (v_pad // block_m times),
+    # not once per grid step — modeling it per-step overstates HBM traffic
+    # by ~2x and yields impossible >1.0 roofline fractions
+    n_row_runs = v_pad // block_m
+    bytes_accessed = (
+        n_row_runs * block_m * h_pad
+        + n_blocks * block_n * h_pad
+        + n_blocks * n_out * block_m * block_n * 4
     )
     out = pl.pallas_call(
         kernel,
@@ -373,7 +384,8 @@ def ld_triangle_matrix(
 
     ``epilogue="fast"`` (r^2 only) swaps the exact-order finish for the
     divide-free form (see _ipq_from_counts) — the headline-benchmark
-    configuration, ~1e-6 off the exact-order f32 values.
+    configuration, within 2e-5 of the exact-order f32 values (file
+    outputs get 4-dp parity via the host finisher, not this path).
     """
     G = jnp.asarray(G)
     v, h = G.shape
@@ -492,66 +504,11 @@ def pack_rows(G) -> np.ndarray:
     return np.packbits(np.asarray(G, dtype=np.uint8), axis=1)
 
 
-def ld_band_pallas(
-    G_rows,
-    G_all,
-    c1_rows,
-    c1_all,
-    n_haplotypes,
-    *,
-    block_m: int = 256,
-    block_n: int = 512,
-    interpret: bool = False,
-):
-    """Dense band sweep: rows-block x all columns, fused epilogue.
-
-    Used by the streamed chromosome-scale sweep and the sharded
-    multi-device path (each device owns a band of variant rows).  Shapes
-    must be pre-padded to block multiples.
-    """
-    vr, h = G_rows.shape
-    va, _ = G_all.shape
-    grid = (vr // block_m, va // block_n)
-    return pl.pallas_call(
-        _band_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, h), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, h), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((vr, va), jnp.float32),
-            jax.ShapeDtypeStruct((vr, va), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * vr * va * h,
-            bytes_accessed=(vr + va) * h + 2 * vr * va * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(G_rows, G_all, c1_rows, c1_all,
-      jnp.asarray([[n_haplotypes]], dtype=jnp.int32))
-
-
-def _band_kernel(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref, dp_ref):
-    # int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e+); dots
-    # are K-chunked under Mosaic's int8 scoped-VMEM budget (_int8_k_chunk)
+def _band_counts_dense(a_ref, b_ref, heavy_epilogue: bool):
+    """K-chunked int8 x int8 -> int32 MXU counts for one band tile."""
     ktot = a_ref.shape[1]
-    k_chunk = _int8_k_chunk(a_ref.shape[0], ktot, heavy_epilogue=True)
+    k_chunk = _int8_k_chunk(a_ref.shape[0], ktot,
+                            heavy_epilogue=heavy_epilogue)
     c_ab = None
     for lo in range(0, ktot, k_chunk):
         sl = slice(lo, min(lo + k_chunk, ktot))
@@ -561,20 +518,14 @@ def _band_kernel(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref, dp_ref):
             preferred_element_type=jnp.int32,
         )
         c_ab = part if c_ab is None else c_ab + part
-    n = n_ref[0, 0].astype(jnp.float32)
-    inv_n = 1.0 / n
-    r2, dp = _ld_epilogue(c_ab.astype(jnp.float32), c1_ref[:], c2_ref[:].T,
-                          inv_n, n)
-    r2_ref[:] = r2
-    dp_ref[:] = dp
+    return c_ab
 
 
-def _band_kernel_packed(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref,
-                        dp_ref, a_planes):
-    """Bitpacked band kernel: same bit-plane decomposition as
-    _tri_kernel_packed.  The grid sweeps columns fastest, so the rows
-    block is stationary per i; its unpacked planes are cached in scratch
-    and recomputed only at j == 0."""
+def _band_counts_packed(a_ref, b_ref, a_planes):
+    """Bit-plane int32 counts over bitpacked tiles (see _tri_kernel_packed
+    for the algebra).  The band grid sweeps columns fastest, so the rows
+    block is stationary per i; its unpacked planes live in VMEM scratch,
+    recomputed only at j == 0."""
     hp8 = a_ref.shape[1]
 
     @pl.when(pl.program_id(1) == 0)
@@ -596,11 +547,187 @@ def _band_kernel_packed(a_ref, b_ref, c1_ref, c2_ref, n_ref, r2_ref,
             preferred_element_type=jnp.int32,
         )
         c_ab = part if c_ab is None else c_ab + part
+    return c_ab
+
+
+def _fast_r2(c, c1_col, c2_row, ipq1_col, ipq2_row, inv_n):
+    """Divide-free r^2 from f32 counts (see _ipq_from_counts).
+
+    Shared — traced into BOTH the Pallas band kernels and the XLA
+    fallback tile (ops/ld_stream._tile_ld), so the threshold masks of a
+    scan's count pass and fetch pass agree bit-for-bit within an engine.
+    """
+    p1 = c1_col * inv_n
+    p2 = c2_row * inv_n
+    d = c * inv_n - p1 * p2
+    return (d * d) * (ipq1_col * ipq2_row)
+
+
+# ld_band_sweep output menu: name -> dtype.  "meas" is the threshold
+# measure (fast r^2 when sel == 0, exact-order D' when sel == 1); "cab"
+# is the raw int32 co-occurrence count tile, which lets the streamed
+# scan's exact host finisher run from counts alone (no genotype gather).
+_BAND_OUT_DTYPES = {
+    "meas": jnp.float32,
+    "r2": jnp.float32,
+    "dp": jnp.float32,
+    "cab": jnp.int32,
+}
+
+
+def _band_sweep_kernel(a_ref, b_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
+                       n_ref, *refs, packed, outs, sel):
+    if packed:
+        *out_refs, a_planes = refs
+        c_ab = _band_counts_packed(a_ref, b_ref, a_planes)
+    else:
+        out_refs = refs
+        heavy = sel == 1 or "r2" in outs or "dp" in outs
+        c_ab = _band_counts_dense(a_ref, b_ref, heavy_epilogue=heavy)
+    out = dict(zip(outs, out_refs))
+    c = c_ab.astype(jnp.float32)
     n = n_ref[0, 0].astype(jnp.float32)
-    r2, dp = _ld_epilogue(c_ab.astype(jnp.float32), c1_ref[:], c2_ref[:].T,
-                          1.0 / n, n)
-    r2_ref[:] = r2
-    dp_ref[:] = dp
+    inv_n = 1.0 / n
+    r2x = dpx = None
+    if sel == 1 or "r2" in outs or "dp" in outs:
+        r2x, dpx = _ld_epilogue(c, c1_ref[:], c2_ref[:].T, inv_n, n)
+    if "meas" in out:
+        if sel == 0:
+            out["meas"][:] = _fast_r2(c, c1_ref[:], c2_ref[:].T,
+                                      ipq1_ref[:], ipq2_ref[:].T, inv_n)
+        else:
+            out["meas"][:] = dpx
+    if "r2" in out:
+        out["r2"][:] = r2x
+    if "dp" in out:
+        out["dp"][:] = dpx
+    if "cab" in out:
+        out["cab"][:] = c_ab
+
+
+def ld_band_sweep(
+    g_rows,
+    g_cols,
+    c1_rows,
+    c1_cols,
+    ipq_rows,
+    ipq_cols,
+    n_haplotypes,
+    *,
+    packed: bool,
+    outs: tuple = ("meas",),
+    sel: int = 0,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Band sweep (rows-block x cols-block grid) with a configurable
+    output menu — the engine under the streamed chromosome-scale scan.
+
+    ``outs`` is an ordered subset of ``_BAND_OUT_DTYPES``; the scan's
+    count pass requests ``("meas",)`` (one f32 tile, light epilogue) and
+    its fetch pass ``("meas", "r2", "dp", "cab")``.  ``sel`` picks the
+    threshold measure (0 = r_square via the divide-free fast form, 1 =
+    exact-order d_prime).  Dense (``packed=False``) inputs must be int8
+    {0,1} pre-padded to block multiples; packed inputs are the store's
+    bitpacked uint8 bytes padded to a 128-multiple byte width.
+    """
+    for o in outs:
+        if o not in _BAND_OUT_DTYPES:
+            raise ValueError(f"unknown band output {o!r}")
+    if not packed and (g_rows.dtype != jnp.int8 or g_cols.dtype != jnp.int8):
+        raise TypeError(
+            "ld_band_sweep requires int8 {0,1} genotype blocks (the tiles "
+            f"feed the int8 MXU directly), got {g_rows.dtype}/{g_cols.dtype}"
+        )
+    vr, w = g_rows.shape
+    va, _ = g_cols.shape
+    grid = (vr // block_m, va // block_n)
+    out_tile = pl.BlockSpec(
+        (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((block_m, w), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, w), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    h_macs = w * 8 if packed else w
+    # a-blocks stream once per grid ROW (columns iterate fastest, the
+    # pipeline skips the unchanged block's DMA); b-blocks once per step
+    bytes_accessed = (
+        vr * w + (vr // block_m) * va * w + len(outs) * vr * va * 4
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _band_sweep_kernel, packed=packed, outs=tuple(outs), sel=sel
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_tile] * len(outs),
+        out_shape=[
+            jax.ShapeDtypeStruct((vr, va), _BAND_OUT_DTYPES[o]) for o in outs
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((block_m, 8 * w), jnp.int8)] if packed else []
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * vr * va * h_macs,
+            bytes_accessed=bytes_accessed,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g_rows, g_cols, c1_rows, c1_cols, ipq_rows, ipq_cols,
+      jnp.asarray([[n_haplotypes]], dtype=jnp.int32))
+    return dict(zip(outs, out))
+
+
+def _band_ipq(c1, n_haplotypes):
+    return _ipq_from_counts(
+        c1.astype(jnp.float32), jnp.float32(n_haplotypes)
+    )
+
+
+def ld_band_pallas(
+    G_rows,
+    G_all,
+    c1_rows,
+    c1_all,
+    n_haplotypes,
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Dense band sweep: rows-block x all columns, exact-order epilogue.
+
+    Returns (r2, dp).  Genotypes must arrive as int8 {0,1}: the kernel
+    feeds them straight to the int8 MXU (a float dtype would fail deep
+    inside Mosaic with an opaque dot_general error).  Thin wrapper over
+    :func:`ld_band_sweep`.
+    """
+    if G_rows.dtype != jnp.int8 or G_all.dtype != jnp.int8:
+        raise TypeError(
+            "ld_band_pallas requires int8 {0,1} genotype blocks, got "
+            f"{G_rows.dtype}/{G_all.dtype}"
+        )
+    out = ld_band_sweep(
+        G_rows, G_all, c1_rows, c1_all,
+        _band_ipq(c1_rows, n_haplotypes), _band_ipq(c1_all, n_haplotypes),
+        n_haplotypes, packed=False, outs=("r2", "dp"),
+        block_m=block_m, block_n=block_n, interpret=interpret,
+    )
+    return out["r2"], out["dp"]
 
 
 def ld_band_pallas_packed(
@@ -620,40 +747,10 @@ def ld_band_pallas_packed(
     byte format end-to-end; shapes must be pre-padded to block multiples
     on the variant axes and to a 128-multiple byte width.
     """
-    vr, hp8 = gp_rows.shape
-    va, _ = gp_cols.shape
-    grid = (vr // block_m, va // block_n)
-    return pl.pallas_call(
-        _band_kernel_packed,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, hp8), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, hp8), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((vr, va), jnp.float32),
-            jax.ShapeDtypeStruct((vr, va), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((block_m, 8 * hp8), jnp.int8)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * vr * va * hp8 * 8,
-            bytes_accessed=(vr + va) * hp8 + 2 * vr * va * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(gp_rows, gp_cols, c1_rows, c1_all,
-      jnp.asarray([[n_haplotypes]], dtype=jnp.int32))
+    out = ld_band_sweep(
+        gp_rows, gp_cols, c1_rows, c1_all,
+        _band_ipq(c1_rows, n_haplotypes), _band_ipq(c1_all, n_haplotypes),
+        n_haplotypes, packed=True, outs=("r2", "dp"),
+        block_m=block_m, block_n=block_n, interpret=interpret,
+    )
+    return out["r2"], out["dp"]

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ld_tools_tpu.ops.exact import exact_ld_elementwise, round4
-from ld_tools_tpu.ops.ld_pallas import ld_band_pallas, ld_band_pallas_packed
+from ld_tools_tpu.ops.ld_pallas import _fast_r2, _ld_epilogue, ld_band_sweep
 from ld_tools_tpu.utils.logging import get_logger
 
 log = get_logger("ops.ld_stream")
@@ -57,14 +57,25 @@ class ScanHits:
 
 
 def _tile_ld(
-    g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
+    g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
+    fetch=False,
 ):
-    """LD + keep-mask for one tile sliced from HBM-resident G.
+    """Measure/values + keep-mask for one tile sliced from HBM-resident G.
 
     With ``packed=True`` the resident matrix is the store's bitpacked
     uint8 (V, ceil(H/8)) form: 8x less HBM and the counts run as int8
     bit-plane matmuls (see ld_pallas._tri_kernel_packed for the algebra).
+
+    The threshold mask is computed on ``meas`` — the divide-free fast r^2
+    (sel == 0) or exact-order D' (sel == 1).  The count pass
+    (``fetch=False``) produces ONLY meas (one output tile, light
+    epilogue — the configuration that hits the kernel-bench rate); the
+    fetch pass adds exact-order r2/dp and the raw int32 counts ``cab``
+    so the host can finish hits bit-exactly without ever touching the
+    genotype matrix again.  Both passes share the same traced arithmetic
+    (`ld_pallas._fast_r2` / `_ld_epilogue`), so their masks agree
+    bit-for-bit and pass 1's counts always size pass 2's buffers right.
     """
     g_rows = jax.lax.dynamic_slice(
         g_dev, (row0, 0), (band, g_dev.shape[1])
@@ -74,22 +85,18 @@ def _tile_ld(
     )
     c1_rows = jax.lax.dynamic_slice(c1_dev, (row0, 0), (band, 1))
     c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
+    ipq_rows = jax.lax.dynamic_slice(ipq_dev, (row0, 0), (band, 1))
+    ipq_cols = jax.lax.dynamic_slice(ipq_dev, (col0, 0), (chunk, 1))
+    outs = ("meas", "r2", "dp", "cab") if fetch else ("meas",)
 
-    if packed and use_pallas:
-        r2, dp = ld_band_pallas_packed(
-            g_rows, g_cols, c1_rows, c1_cols, n_hap,
-            block_m=min(256, band), block_n=min(512, chunk),
-            interpret=interpret,
-        )
-    elif use_pallas:
-        r2, dp = ld_band_pallas(
-            g_rows, g_cols, c1_rows, c1_cols, n_hap,
+    if use_pallas:
+        vals = ld_band_sweep(
+            g_rows, g_cols, c1_rows, c1_cols, ipq_rows, ipq_cols, n_hap,
+            packed=packed, outs=outs, sel=sel,
             block_m=min(256, band), block_n=min(512, chunk),
             interpret=interpret,
         )
     else:
-        from ld_tools_tpu.ops.ld_math import ld_from_counts
-
         if packed:
             a = g_rows.astype(jnp.int32)
             b = g_cols.astype(jnp.int32)
@@ -102,7 +109,6 @@ def _tile_ld(
                     preferred_element_type=jnp.int32,
                 )
                 c_ab = part if c_ab is None else c_ab + part
-            c_ab = c_ab.astype(jnp.float32)
         else:
             # int8 x int8 -> int32 runs the MXU at 2x the bf16 rate on
             # v5e+ and the counts stay exact integers
@@ -111,25 +117,37 @@ def _tile_ld(
                 g_cols,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        out = ld_from_counts(c_ab, c1_rows[:, 0], c1_cols[:, 0], n_hap)
-        r2, dp = out["r_square"], out["d_prime"]
+            )
+        c = c_ab.astype(jnp.float32)
+        n = n_hap.astype(jnp.float32)
+        inv_n = 1.0 / n
+        r2x = dpx = None
+        if sel == 1 or fetch:
+            r2x, dpx = _ld_epilogue(c, c1_rows, c1_cols.T, inv_n, n)
+        if sel == 0:
+            meas = _fast_r2(c, c1_rows, c1_cols.T, ipq_rows, ipq_cols.T,
+                            inv_n)
+        else:
+            meas = dpx
+        vals = {"meas": meas}
+        if fetch:
+            vals.update(r2=r2x, dp=dpx, cab=c_ab)
 
     rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
     cols_g = col0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 1)
     keep = cols_g < rows_g  # strict lower triangle (no self-pairs)
-    meas = r2 if sel == 0 else dp
-    keep &= meas >= thres_dev
+    keep &= vals["meas"] >= thres_dev
     if use_dist:
         pos_rows = jax.lax.dynamic_slice(pos_dev, (row0,), (band,))
         pos_cols = jax.lax.dynamic_slice(pos_dev, (col0,), (chunk,))
         dist = jnp.abs(pos_rows[:, None] - pos_cols[None, :])
         keep &= dist <= max_dist
-    return r2, dp, keep, rows_g, cols_g
+    return vals, keep, rows_g, cols_g
 
 
 def _count_tiles_body(
-    g_dev, c1_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev, max_dist,
+    g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev,
+    max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
 ):
     """Pass 1 body: per-tile hit COUNTS for a batch of tiles.
@@ -143,11 +161,11 @@ def _count_tiles_body(
 
     def step(_, tile):
         row0, col0, is_valid = tile
-        _, _, keep, _, _ = _tile_ld(
-            g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
+        _, keep, _, _ = _tile_ld(
+            g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
-            packed=packed,
+            packed=packed, fetch=False,
         )
         keep &= is_valid
         return None, jnp.sum(keep.astype(jnp.int32))
@@ -157,7 +175,7 @@ def _count_tiles_body(
 
 
 def _fetch_tiles_body(
-    g_dev, c1_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
+    g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
     *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
     packed=False,
 ):
@@ -167,20 +185,29 @@ def _fetch_tiles_body(
     dispatch per tile: through an RPC-relayed device both the ~0.5 s
     per-call latency and the fixed-size result buffers (cap entries per
     tile, with cap sized from pass 1's counts) would otherwise dominate
-    the whole scan.
+    the whole scan.  Each hit returns its exact int32 co-occurrence count
+    alongside the f32 values, so the host's bit-exact refinish needs no
+    genotype access at all.
     """
 
     def step(_, tile):
         row0, col0 = tile
-        r2, dp, keep, _, _ = _tile_ld(
-            g_dev, c1_dev, pos_dev, row0, col0, n_hap, thres_dev,
+        vals, keep, _, _ = _tile_ld(
+            g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
+            fetch=True,
         )
         ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
         safe_i = jnp.maximum(ii, 0)
         safe_j = jnp.maximum(jj, 0)
-        return None, (ii, jj, r2[safe_i, safe_j], dp[safe_i, safe_j])
+        return None, (
+            ii,
+            jj,
+            vals["r2"][safe_i, safe_j],
+            vals["dp"][safe_i, safe_j],
+            vals["cab"][safe_i, safe_j],
+        )
 
     _, out = jax.lax.scan(step, None, (r0s, c0s))
     return out  # each (n_tiles, cap)
@@ -223,7 +250,7 @@ def _sharded_tile_fns(mesh, **static):
         jax.shard_map(
             functools.partial(_count_tiles_body, **static),
             mesh=mesh,
-            in_specs=(rep, rep, rep, tile, tile, tile, rep, rep, rep),
+            in_specs=(rep, rep, rep, rep, tile, tile, tile, rep, rep, rep),
             out_specs=tile,
         )
     )
@@ -234,7 +261,7 @@ def _sharded_tile_fns(mesh, **static):
             jax.shard_map(
                 functools.partial(_fetch_tiles_body, cap=cap, **static),
                 mesh=mesh,
-                in_specs=(rep, rep, rep, tile, tile, rep, rep, rep),
+                in_specs=(rep, rep, rep, rep, tile, tile, rep, rep, rep),
                 out_specs=tile,
             )
         )
@@ -270,13 +297,23 @@ def stream_threshold_scan(
     exact: bool = True,
     checkpoint_dir=None,
     mesh=None,
+    resident: str = "auto",
 ) -> ScanHits:
     """Scan all lower-triangle pairs of G; keep measure >= thres.
 
     Input is either ``G`` (int8 (V, H) {0,1}) or ``G_packed`` (the store's
-    bitpacked uint8 (V, ceil(H/8)) with ``n_haplotypes`` — preferred: 8x
-    less HBM and int8-MXU bit-plane counts, so a whole-genome scan keeps
-    every chromosome's matrix resident).
+    bitpacked uint8 (V, ceil(H/8)) with ``n_haplotypes``).
+
+    ``resident`` controls the HBM layout for a packed input: ``"dense"``
+    inflates the bytes to int8 ON DEVICE once (ld_pallas.
+    unpack_rows_device) so tiles run the dense int8-MXU band kernel (~88%
+    of the chip's int8 peak); ``"packed"`` keeps the bytes packed
+    end-to-end with in-kernel bit-plane unpack (8x less HBM residency,
+    ~62% of peak — for whole-genome scans where residency wins);
+    ``"auto"`` (default) picks dense while the inflated matrix stays
+    under ~4 GiB (override via $TPU_LD_DENSE_RESIDENT_BYTES) — a chr21-
+    scale 100k x 5120 matrix is 0.5 GB, comfortably resident.  Results
+    are identical either way (padding bits are zero).
 
     The device filter runs one 4-dp rounding step below ``thres`` so f32
     noise can never drop a pair the exact math keeps; exact=True then
@@ -325,6 +362,15 @@ def stream_threshold_scan(
         g_host[:v, :h] = G
     c1_host = np.zeros((v_pad, 1), dtype=np.float32)
     c1_host[:v, 0] = c1_full
+    # per-variant 1/(p*q) reciprocals for the divide-free fast-r^2 mask
+    # (0 for monomorphic and padding rows — their cells read as r^2 == 0)
+    p_host = c1_host / np.float32(n_haplotypes)
+    pq_host = p_host * (np.float32(1.0) - p_host)
+    ipq_host = np.where(
+        pq_host == 0.0,
+        np.float32(0.0),
+        np.float32(1.0) / np.where(pq_host == 0.0, np.float32(1.0), pq_host),
+    ).astype(np.float32)
     # padding positions land far away so the dist filter kills them
     # (int32-safe sentinel: JAX defaults to 32-bit ints)
     pos_host = np.full((v_pad,), -(2**30), dtype=np.int32)
@@ -336,12 +382,34 @@ def stream_threshold_scan(
         rep = NamedSharding(mesh, P())
         g_dev = jax.device_put(g_host, rep)   # replicated across the mesh
         c1_dev = jax.device_put(c1_host, rep)
+        ipq_dev = jax.device_put(ipq_host, rep)
         pos_dev = jax.device_put(pos_host, rep)
     else:
+        rep = None
         g_dev = jnp.asarray(g_host)   # resident in HBM for the whole scan
         c1_dev = jnp.asarray(c1_host)
+        ipq_dev = jnp.asarray(ipq_host)
         pos_dev = jnp.asarray(pos_host)
     del g_host
+    if packed and resident != "packed":
+        import os as _os
+
+        from ld_tools_tpu.ops.ld_pallas import unpack_rows_device
+
+        limit = int(
+            _os.environ.get("TPU_LD_DENSE_RESIDENT_BYTES", str(4 << 30))
+        )
+        if resident == "dense" or v_pad * h_pad * 8 <= limit:
+            # inflate the packed bytes to int8 on device ONCE: the dense
+            # band kernel runs the int8 MXU ~1.4x faster than the
+            # in-kernel bit-plane unpack, and the transfer stayed packed
+            unpack = (
+                jax.jit(unpack_rows_device, out_shardings=rep)
+                if rep is not None
+                else unpack_rows_device
+            )
+            g_dev = unpack(g_dev)
+            packed = False
 
     # Build the tile coordinate list on the host (with whole-tile
     # distance pruning: positions are sorted, so the closest pair of a
@@ -373,8 +441,10 @@ def stream_threshold_scan(
         import os
 
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # "counts-v2": batches persist the exact int32 counts alongside
+        # the f32 values (older checkpoints without them are not resumable)
         fp = hashlib.sha256(
-            repr((v, h, measure, thres, max_dist, band, chunk,
+            repr(("counts-v2", v, h, measure, thres, max_dist, band, chunk,
                   int(np.asarray(pos)[-1]) if v else 0)).encode()
         ).hexdigest()[:16]
 
@@ -383,7 +453,7 @@ def stream_threshold_scan(
                 checkpoint_dir, f"scan_{fp}_batch{batch_idx}.npz"
             )
 
-    hits_i, hits_j, hits_r2, hits_dp = [], [], [], []
+    hits_i, hits_j, hits_r2, hits_dp, hits_cab = [], [], [], [], []
     batch = max_tiles_per_call
     for s in range(0, len(tiles), batch):
         if ckpt is not None:
@@ -397,6 +467,7 @@ def stream_threshold_scan(
                     hits_j.append(saved["j"])
                     hits_r2.append(saved["r2"])
                     hits_dp.append(saved["dp"])
+                    hits_cab.append(saved["cab"])
                 log.info("resumed batch %d from %s", s // batch, path)
                 continue
         part = tiles[s : s + batch]
@@ -425,13 +496,14 @@ def stream_threshold_scan(
         if n_shards > 1:
             count_fn, fetch_factory = _sharded_tile_fns(mesh, **common)
             counts = np.asarray(count_fn(
-                g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars
+                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
             ))
         else:
             counts = np.asarray(_count_tiles_batch(
-                g_dev, c1_dev, pos_dev, r0s, c0s, valid, *scalars, **common
+                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
+                **common
             ))
-        bi_l, bj_l, br2_l, bdp_l = [], [], [], []
+        bi_l, bj_l, br2_l, bdp_l, bcab_l = [], [], [], [], []
         hit_idx = np.nonzero(counts > 0)[0]
         too_big = hit_idx[counts[hit_idx] > cap_per_tile]
         if too_big.size:
@@ -462,18 +534,19 @@ def stream_threshold_scan(
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
             c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
             if n_shards > 1:
-                ii_b, jj_b, r2_b, dp_b = fetch_factory(cap)(
-                    g_dev, c1_dev, pos_dev, r0s_f, c0s_f, *scalars
+                ii_b, jj_b, r2_b, dp_b, cab_b = fetch_factory(cap)(
+                    g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f, *scalars
                 )
             else:
-                ii_b, jj_b, r2_b, dp_b = _fetch_tiles_batch(
-                    g_dev, c1_dev, pos_dev, r0s_f, c0s_f,
+                ii_b, jj_b, r2_b, dp_b, cab_b = _fetch_tiles_batch(
+                    g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
                     *scalars, cap=cap, **common
                 )
             ii_b = np.asarray(ii_b)
             jj_b = np.asarray(jj_b)
             r2_b = np.asarray(r2_b)
             dp_b = np.asarray(dp_b)
+            cab_b = np.asarray(cab_b)
             for k, t_idx in enumerate(idxs):
                 count = int(counts[t_idx])
                 r0, c0 = part[t_idx]
@@ -484,15 +557,18 @@ def stream_threshold_scan(
                 bj_l.append(jj[ok])
                 br2_l.append(r2_b[k, :count][ok])
                 bdp_l.append(dp_b[k, :count][ok])
+                bcab_l.append(cab_b[k, :count][ok])
         if bi_l:
             bi = np.concatenate(bi_l)
             bj = np.concatenate(bj_l)
             br2 = np.concatenate(br2_l)
             bdp = np.concatenate(bdp_l)
+            bcab = np.concatenate(bcab_l)
             total = len(bi)
         else:
             bi = bj = np.zeros((0,), dtype=np.int64)
             br2 = bdp = np.zeros((0,), dtype=np.float32)
+            bcab = np.zeros((0,), dtype=np.int32)
             total = 0
         if ckpt is not None:
             import os
@@ -500,7 +576,7 @@ def stream_threshold_scan(
             path = ckpt(s // batch)
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
-                np.savez(fh, i=bi, j=bj, r2=br2, dp=bdp)
+                np.savez(fh, i=bi, j=bj, r2=br2, dp=bdp, cab=bcab)
             os.replace(tmp, path)
         if total == 0:
             continue
@@ -508,6 +584,7 @@ def stream_threshold_scan(
         hits_j.append(bj)
         hits_r2.append(br2)
         hits_dp.append(bdp)
+        hits_cab.append(bcab)
 
     if not hits_i:
         z = np.zeros((0,))
@@ -519,51 +596,40 @@ def stream_threshold_scan(
     j = np.concatenate(hits_j)
     r2 = np.concatenate(hits_r2)
     dp = np.concatenate(hits_dp)
+    cab = np.concatenate(hits_cab)
     order = np.lexsort((j, i))
-    i, j, r2, dp = i[order], j[order], r2[order], dp[order]
+    i, j, r2, dp, cab = i[order], j[order], r2[order], dp[order], cab[order]
     if not exact:
         return ScanHits(i=i, j=j, r_square=r2, d_prime=dp, exact=False)
-    if packed:
-        gather = lambda rows: _pack.unpack_rows(Gp, rows, h)  # noqa: E731
-    else:
-        gather = lambda rows: G[rows]  # noqa: E731
-    return _exact_refilter(gather, c1_full, n_haplotypes, i, j, measure,
-                           thres)
+    return _exact_refilter_counts(cab, c1_full, n_haplotypes, i, j, measure,
+                                  thres)
 
 
-def _exact_refilter(
-    gather_rows, c1_full, n_hap, i, j, measure, thres, chunk: int = 65536
+def _exact_refilter_counts(
+    cab, c1_full, n_hap, i, j, measure, thres
 ) -> ScanHits:
-    """Re-finish hits in f64 from exact counts; filter on rounded values.
+    """Re-finish hits in f64 straight from exact integer counts; filter on
+    the rounded values (the reference thresholds post-rounding,
+    ld_area.py:248).
 
-    ``gather_rows(rows) -> (len(rows), H) int8`` fetches genotype rows (a
-    plain slice for unpacked input, selective bit-unpack for packed), so
-    the cost scales with the number of HITS, not variants.
+    The fetch pass returns each hit's int32 co-occurrence count, so this
+    is pure elementwise f64 over the HITS — no genotype gather, no
+    matmuls, cost O(hits) with a tiny constant.
     """
-    keep_parts = []
-    for s in range(0, len(i), chunk):
-        ii = i[s : s + chunk]
-        jj = j[s : s + chunk]
-        gi = gather_rows(ii).astype(np.int64)
-        gj = gather_rows(jj).astype(np.int64)
-        c_ab = np.einsum("kh,kh->k", gi, gj)
-        exact = exact_ld_elementwise(c_ab, c1_full[ii], c1_full[jj], n_hap)
-        meas = exact.r_square if measure == "r_square" else exact.d_prime
-        int_zero = (
-            exact.r_square_is_int_zero
-            if measure == "r_square"
-            else exact.d_prime_is_int_zero
-        )
-        rounded = round4(meas)
-        rounded[int_zero] = 0.0
-        keep = rounded >= thres
-        keep_parts.append(
-            (ii[keep], jj[keep], exact.r_square[keep], exact.d_prime[keep],
-             exact.r_square_is_int_zero[keep],
-             exact.d_prime_is_int_zero[keep])
-        )
-    cat = [np.concatenate(p) for p in zip(*keep_parts)]
+    exact = exact_ld_elementwise(cab, c1_full[i], c1_full[j], n_hap)
+    meas = exact.r_square if measure == "r_square" else exact.d_prime
+    int_zero = (
+        exact.r_square_is_int_zero
+        if measure == "r_square"
+        else exact.d_prime_is_int_zero
+    )
+    rounded = round4(meas)
+    rounded[int_zero] = 0.0
+    keep = rounded >= thres
     return ScanHits(
-        i=cat[0], j=cat[1], r_square=cat[2], d_prime=cat[3],
-        r_square_is_int_zero=cat[4], d_prime_is_int_zero=cat[5], exact=True,
+        i=i[keep], j=j[keep],
+        r_square=exact.r_square[keep], d_prime=exact.d_prime[keep],
+        r_square_is_int_zero=exact.r_square_is_int_zero[keep],
+        d_prime_is_int_zero=exact.d_prime_is_int_zero[keep],
+        exact=True,
     )

@@ -32,7 +32,7 @@ class ScanConfig:
     ld_low_thres: float
     max_dist: object  # int or None
     checkpoint_dir: object = None
-    use_pallas: bool = False
+    use_pallas: object = None  # None = auto (Pallas on TPU, XLA on CPU)
     n_devices: object = None  # None = 1; "all" or int = shard tiles
 
     @staticmethod
@@ -40,6 +40,7 @@ class ScanConfig:
         chroms = tuple(
             c for c in args.chroms.split(",") if c and c.lower() != "all"
         )
+        engine = getattr(args, "engine", "auto") or "auto"
         return ScanConfig(
             chroms=chroms,
             trg_dir_path=os.path.normpath(args.trg_dir_path),
@@ -47,12 +48,18 @@ class ScanConfig:
             ld_low_thres=args.ld_low_thres,
             max_dist=args.max_dist,
             checkpoint_dir=getattr(args, "checkpoint_dir", None),
-            # XLA tiles fuse matmul+epilogue well for dense scan tiles
-            # and compile far faster through the remote-compile relay;
-            # the Pallas kernel stays the dense-matrix/bench path
-            use_pallas=False,
+            use_pallas={"auto": None, "pallas": True, "xla": False}[engine],
             n_devices=getattr(args, "devices", None),
         )
+
+    def resolve_use_pallas(self) -> bool:
+        """auto -> the fused Pallas band kernel on TPU, XLA on CPU
+        (Pallas outside interpret mode needs real TPU hardware)."""
+        if self.use_pallas is not None:
+            return bool(self.use_pallas)
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
 
     def mesh(self):
         """1-D tile mesh when more than one device is requested/present."""
@@ -88,7 +95,7 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
         measure=config.ld_measure,
         thres=config.ld_low_thres,
         max_dist=config.max_dist,
-        use_pallas=config.use_pallas,
+        use_pallas=config.resolve_use_pallas(),
         exact=True,
         checkpoint_dir=config.checkpoint_dir,
         mesh=config.mesh(),

@@ -115,7 +115,8 @@ def device_seconds(run_reps, reps: int = 6) -> float:
 
 
 def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
-                         n_hi: int = 12, trials: int = 3):
+                         n_hi: int = 12, trials: int = 3,
+                         seed_base: float = 0.0):
     """Per-sweep device time, robust against every relay/XLA shortcut.
 
     Three effects corrupt naive timings through the RPC-relayed device:
@@ -132,6 +133,8 @@ def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
     program is compiled, executed once untimed (program load), then timed
     ``trials`` times with distinct seeds; per-sweep time is
     ``(T(n_hi) - T(n_lo)) / (n_hi - n_lo)`` — constant overheads cancel.
+    ``seed_base`` offsets the trial seeds so REPEATED measurements (e.g.
+    bench retries) never reuse seed values the relay may have memoized.
 
     Returns (per_sweep_seconds, {n: best_wall_seconds}).
     """
@@ -144,7 +147,7 @@ def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
         compiled(datasets, jnp.float32(0.0)).block_until_ready()
         best = float("inf")
         for trial in range(trials):
-            seed = jnp.float32(trial + 1.0)
+            seed = jnp.float32(seed_base + trial + 1.0)
             t0 = time.perf_counter()
             compiled(datasets, seed).block_until_ready()
             best = min(best, time.perf_counter() - t0)

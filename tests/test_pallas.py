@@ -125,6 +125,48 @@ def test_triangle_kernel_fast_epilogue(rng):
                            want_dprime=True, epilogue="fast")
 
 
+@pytest.mark.parametrize("kernel", ["dense", "bitplane"])
+def test_triangle_kernel_packed_fast_epilogue(rng, kernel):
+    """The fast epilogue through BOTH bitpacked entries (the bench times
+    packed/fast; this pins its numerics): within 2e-5 of the exact-order
+    epilogue and exact monomorphic zeros."""
+    from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix_packed, pack_rows
+
+    G = random_haplotypes(rng, 70, 150, maf_low=0.02, maf_high=0.98)
+    G[5] = 0
+    G[13] = 1
+    gp = pack_rows(G)
+    r2_exact, _ = ld_triangle_matrix_packed(
+        gp, 150, interpret=True, block_m=128, block_n=128,
+        want_dprime=False, kernel=kernel,
+    )
+    r2_fast, none_dp = ld_triangle_matrix_packed(
+        gp, 150, interpret=True, block_m=128, block_n=128,
+        want_dprime=False, kernel=kernel, epilogue="fast",
+    )
+    assert none_dp is None
+    tri = np.tril_indices(70, 0)
+    a = np.asarray(r2_fast)[tri]
+    b = np.asarray(r2_exact)[tri]
+    assert np.max(np.abs(a - b)) <= 2e-5
+    fast = np.asarray(r2_fast)
+    assert not fast[5, :5].any() and not fast[13, :13].any()
+
+
+def test_band_kernel_rejects_non_int8(rng):
+    import jax.numpy as jnp
+
+    from ld_tools_tpu.ops.ld_pallas import ld_band_pallas
+
+    G = jnp.asarray(
+        random_haplotypes(rng, 256, 128, maf_low=0.2, maf_high=0.8),
+        dtype=jnp.float32,
+    )
+    c1 = G.sum(axis=1, keepdims=True)
+    with pytest.raises(TypeError):
+        ld_band_pallas(G, G, c1, c1, 128, interpret=True)
+
+
 def test_triangle_kernel_int8_mode(rng):
     import jax.numpy as jnp
 

@@ -123,9 +123,12 @@ def test_scan_pallas_tiles_interpret(rng):
 
 
 @pytest.mark.parametrize("use_pallas", [False, True])
-def test_scan_packed_input_matches_unpacked(rng, use_pallas):
+@pytest.mark.parametrize("resident", ["dense", "packed"])
+def test_scan_packed_input_matches_unpacked(rng, use_pallas, resident):
     """G_packed (store bytes) must produce identical hits and values to
-    the unpacked path, on both the XLA and the Pallas tile kernels."""
+    the unpacked path, on both the XLA and the Pallas tile kernels and
+    under both HBM residencies (device-unpacked dense / bit-plane
+    packed)."""
     G = random_haplotypes(rng, 50, 77, maf_low=0.05, maf_high=0.95)
     G[7] = 0
     G[13] = 1
@@ -134,7 +137,9 @@ def test_scan_packed_input_matches_unpacked(rng, use_pallas):
               use_pallas=use_pallas, interpret=use_pallas, exact=True)
     ref = stream_threshold_scan(G, **kw)
     gp = np.packbits(G.astype(np.uint8), axis=1)
-    got = stream_threshold_scan(G_packed=gp, n_haplotypes=77, **kw)
+    got = stream_threshold_scan(
+        G_packed=gp, n_haplotypes=77, resident=resident, **kw
+    )
     assert set(zip(got.i.tolist(), got.j.tolist())) == set(
         zip(ref.i.tolist(), ref.j.tolist())
     )
