@@ -28,8 +28,10 @@ from ld_tools_tpu.utils.profiling import maybe_trace
 
 log = get_logger("tools.area")
 
-# Above this many pair cells, a chromosome's queries stream window-by-window
-# instead of one dense (queries x all-variants) device call.
+# Per-device-call cell budget: queries are grouped (sorted by window
+# start) so that each group's (queries x union-of-windows) count matmul
+# stays under this many cells — compute scales with the flank windows the
+# tool actually reports on, never with whole-chromosome size.
 _DENSE_CELL_LIMIT = 16_000_000
 
 
@@ -150,30 +152,60 @@ class AreaRunner:
             high = q_pos + cfg.flank_size
             windows.append(cd.window(low, high))
 
-        # Queries are processed in dense groups (group x whole-chromosome
-        # device calls) sized to _DENSE_CELL_LIMIT — one device round
-        # trip per group instead of per query.
-        group_size = max(1, _DENSE_CELL_LIMIT // max(G.shape[0], 1))
+        # Window-true grouping: queries sort by window start and pack
+        # greedily into groups whose (group x union-of-windows) cell count
+        # fits _DENSE_CELL_LIMIT.  Each group is ONE device count matmul
+        # against only the column slice its windows cover — at chr scale
+        # with 100 kb flanks this is ~50x fewer MACs than a
+        # whole-chromosome product, and the host f64 finish shrinks the
+        # same way.  (The reference re-fetches the window from the VCF per
+        # query, ld_area.py:215-217; the window semantics here are
+        # identical, via store.window's tabix-parity searchsorted.)
+        order = sorted(range(len(q_rows)), key=lambda qi: windows[qi][0])
+        groups = []  # (query indices, col_start, col_stop)
+        cur, cur_start, cur_stop = [], 0, 0
+        for qi in order:
+            s, t = windows[qi]
+            new_start = s if not cur else min(cur_start, s)
+            new_stop = t if not cur else max(cur_stop, t)
+            cells = (len(cur) + 1) * max(new_stop - new_start, 1)
+            if cur and cells > _DENSE_CELL_LIMIT:
+                groups.append((cur, cur_start, cur_stop))
+                cur, cur_start, cur_stop = [qi], s, t
+            else:
+                cur, cur_start, cur_stop = cur + [qi], new_start, new_stop
+        if cur:
+            groups.append((cur, cur_start, cur_stop))
 
         written = 0
-        group_start = 0
-        exacts = None
-        r2_all = dp_all = None
-        for qi, row in enumerate(q_rows):
-            if exacts is None or qi >= group_start + group_size:
-                group_start = (qi // group_size) * group_size
-                grp = q_rows[group_start : group_start + group_size]
-                c_ab, c1q, c1all = pair_counts(G[grp], G)
-                exacts = exact_ld_from_counts(c_ab, c1q, c1all, n_hap)
-                r2_all = exacts.r_square_rounded()
-                dp_all = exacts.d_prime_rounded()
-            gi = qi - group_start
+        for qis, c_start, c_stop in groups:
+            grp = q_rows[qis]
+            c_ab, c1q, c1cols = pair_counts(G[grp], G[c_start:c_stop])
+            exacts = exact_ld_from_counts(c_ab, c1q, c1cols, n_hap)
+            r2_all = exacts.r_square_rounded()
+            dp_all = exacts.d_prime_rounded()
+            written += self._write_group(
+                qis, grp, windows, c_start, exacts, r2_all, dp_all,
+                chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
+                chr_dir_path, ext, meta_keys, meta_vals,
+            )
+        return written
+
+    def _write_group(
+        self, qis, grp, windows, c_start, exacts, r2_all, dp_all,
+        chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
+        chr_dir_path, ext, meta_keys, meta_vals,
+    ) -> int:
+        cfg = self.config
+        written = 0
+        for gi, qi in enumerate(qis):
+            row = grp[gi]
             q_pos = int(pos[row])
             q_rsid = str(rsid[row])
             start, stop = windows[qi]
-            r2_win = r2_all[gi, start:stop]
-            dp_win = dp_all[gi, start:stop]
-            p2_win = exacts.p2[start:stop]
+            r2_win = r2_all[gi, start - c_start : stop - c_start]
+            dp_win = dp_all[gi, start - c_start : stop - c_start]
+            p2_win = exacts.p2[start - c_start : stop - c_start]
             p_q = exacts.p1[gi]
 
             query_alt_freq = round(float(p_q), 4)

@@ -175,6 +175,27 @@ def test_area_json_and_rsids(env, tmp_path):
     assert all(r.startswith("rs") for r in lines[2:])
 
 
+def test_area_grouping_invariant(env, tmp_path, monkeypatch):
+    """The window-true greedy grouping must be a pure batching detail:
+    forcing one-query groups (tiny cell budget) and a small flank produces
+    byte-identical result trees to the default wide grouping."""
+
+    def run_tree(trg, limit):
+        monkeypatch.setattr(area, "_DENSE_CELL_LIMIT", limit)
+        area.run(_area_args(env, trg, thres=0.2, flank_size=40_000))
+        tree = {}
+        for dirpath, _, files in os.walk(trg):
+            for name in files:
+                p = os.path.join(dirpath, name)
+                with open(p) as fh:
+                    tree[os.path.relpath(p, trg)] = fh.read()
+        return tree
+
+    wide = run_tree(str(tmp_path / "wide"), 16_000_000)
+    narrow = run_tree(str(tmp_path / "narrow"), 1)
+    assert wide and wide == narrow
+
+
 def test_area_high_threshold_writes_nothing(env, tmp_path):
     trg = str(tmp_path)
     written = area.run(_area_args(env, trg, thres=1.1))
