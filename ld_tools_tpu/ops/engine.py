@@ -88,7 +88,9 @@ def exact_all_pairs(G: np.ndarray, block: int = 4096) -> ExactLD:
     v, h = G.shape
     if v <= block:
         return exact_pair_ld(G, G)
-    c_ab = np.empty((v, v), dtype=np.float64)
+    # int32 accumulation: counts are exact and the integer dtype routes
+    # the finish through the native one-pass path (ops/exact.py)
+    c_ab = np.empty((v, v), dtype=np.int32)
     c1_full = np.empty((v,), dtype=np.float64)
     starts = list(range(0, v, block))
     for i in starts:

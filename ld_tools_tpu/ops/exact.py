@@ -34,6 +34,20 @@ import dataclasses
 
 import numpy as np
 
+try:  # native one-pass finisher (native/exactfinish.cpp); numpy fallback
+    from ld_tools_tpu.ops import _exactfinish_ctypes as _native
+except Exception:  # pragma: no cover - import machinery failures only
+    _native = None
+
+_native_ok = None
+
+
+def _native_finish_available() -> bool:
+    global _native_ok
+    if _native_ok is None:
+        _native_ok = bool(_native is not None and _native.available())
+    return _native_ok
+
 
 @dataclasses.dataclass
 class ExactLD:
@@ -96,11 +110,32 @@ def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
 
     ``c_ab``: (V1, V2) alt+alt co-occurrence counts (any exact dtype);
     ``c1``: (V1,), ``c2``: (V2,) alt counts; ``n_haplotypes``: 2N.
+
+    Integer count blocks route through the native one-pass finisher
+    (native/exactfinish.cpp — bit-identical IEEE order, no full-matrix
+    temporaries, threaded); everything else runs the numpy reference
+    implementation below.
     """
     n = float(n_haplotypes)
-    c_ab = np.asarray(c_ab, dtype=np.float64)
     c1 = np.asarray(c1, dtype=np.float64)
     c2 = np.asarray(c2, dtype=np.float64)
+    c_raw = np.asarray(c_ab)
+    if (
+        c_raw.ndim == 2
+        and c_raw.size >= 4096
+        and np.issubdtype(c_raw.dtype, np.integer)
+        and _native_finish_available()
+    ):
+        r2, dp, r2_iz, dp_iz = _native.finish_block(c_raw, c1, c2, n)
+        return ExactLD(
+            r_square=r2,
+            d_prime=dp,
+            p1=c1 / n,
+            p2=c2 / n,
+            d_prime_is_int_zero=dp_iz,
+            r_square_is_int_zero=r2_iz,
+        )
+    c_ab = np.asarray(c_ab, dtype=np.float64)
 
     p_ab = c_ab / n
     p1 = (c1 / n)[:, None]
@@ -145,6 +180,16 @@ def exact_ld_elementwise(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
     c_ab = np.asarray(c_ab, dtype=np.float64)
     c1 = np.asarray(c1, dtype=np.float64)
     c2 = np.asarray(c2, dtype=np.float64)
+    if c_ab.size >= 65536 and _native_finish_available():
+        r2, dp, r2_iz, dp_iz = _native.finish_pairs(c_ab, c1, c2, n)
+        return ExactLD(
+            r_square=r2,
+            d_prime=dp,
+            p1=c1 / n,
+            p2=c2 / n,
+            d_prime_is_int_zero=dp_iz,
+            r_square_is_int_zero=r2_iz,
+        )
 
     p_ab = c_ab / n
     p1 = c1 / n
@@ -175,23 +220,46 @@ def exact_ld_elementwise(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
     )
 
 
+_FMT_TABLE = None
+
+
+def _fmt_table():
+    """str(round(v, 4)) for every 4-dp value in [-1, 1], indexed by
+    round(v * 1e4) + 10000.  Built once; turns LD-value formatting into a
+    single object-array take, which is what lets a 10k x 10k triangle TSV
+    (10^8 cells) format in seconds instead of minutes."""
+    global _FMT_TABLE
+    if _FMT_TABLE is None:
+        tbl = np.empty(20001, dtype=object)
+        for mk in range(-10000, 10001):
+            sign = "-" if mk < 0 else ""
+            whole, frac = divmod(abs(mk), 10000)
+            s = f"{whole}.{frac:04d}".rstrip("0")
+            tbl[mk + 10000] = sign + (s + "0" if s.endswith(".") else s)
+        _FMT_TABLE = tbl
+    return _FMT_TABLE
+
+
 def format_rounded(values, int_zero=None):
     """Vectorized reference-faithful string formatting of LD values.
 
-    After round(v, 4), every value in [0, 1] is a multiple of 1e-4 and its
-    Python str() is the minimal decimal (e.g. '0.8237', '0.5', '1.0');
-    int-0 sentinel entries print as '0'.  Returns a list of str.
+    Every emitted string equals ``str(round(v, 4))`` (the reference
+    stringifies rounded values verbatim, ld_area.py:274 etc.), including
+    negative D' ('-0.25') and the IEEE negative-zero round ('-0.0');
+    int-0 sentinel entries print as '0'.  Returns a 1-D object ndarray.
     """
-    values = np.asarray(values, dtype=np.float64)
+    values = np.asarray(values, dtype=np.float64).ravel()
     m = np.rint(values * 1e4).astype(np.int64)
-    out = []
-    for k, mk in enumerate(m):
-        if int_zero is not None and int_zero.flat[k]:
-            out.append("0")
-            continue
-        whole, frac = divmod(int(mk), 10000)
-        s = f"{whole}.{frac:04d}".rstrip("0")
-        out.append(s + "0" if s.endswith(".") else s)
+    out = _fmt_table()[np.clip(m, -10000, 10000) + 10000]
+    oob = (m < -10000) | (m > 10000)
+    if oob.any():  # LD values live in [-1, 1]; guard anyway
+        for k in np.nonzero(oob)[0]:
+            out[k] = str(round(float(values[k]), 4))
+    negzero = (m == 0) & np.signbit(values)
+    if negzero.any():  # str(round(-0.00001, 4)) == '-0.0'
+        out[negzero] = "-0.0"
+    if int_zero is not None:
+        out[np.asarray(int_zero, dtype=bool).ravel()] = "0"
     return out
 
 
@@ -204,10 +272,13 @@ def round4(x: np.ndarray) -> np.ndarray:
     Python's round.
     """
     x = np.asarray(x, dtype=np.float64)
-    y = x * 1e4
-    fast = np.rint(y) / 1e4
-    frac = y - np.floor(y)
-    risky = np.abs(frac - 0.5) < 1e-6
+    if x.size >= 65536 and _native_finish_available():
+        fast, risky = _native.round4_fast(x)
+    else:
+        y = x * 1e4
+        fast = np.rint(y) / 1e4
+        frac = y - np.floor(y)
+        risky = np.abs(frac - 0.5) < 1e-6
     if np.any(risky):
         idx = np.nonzero(risky)
         vals = x[idx]

@@ -128,59 +128,40 @@ class TriangleRunner:
 
         cols = cd.haplotype_columns(self.data.sample_names)
         G = cd.genotype_rows(rows)[:, cols]
-        exact = exact_all_pairs(G)
 
         if cfg.matrix_type == "table":
-            # Table-only runs skip the per-cell Python object matrices and
-            # format straight from the f64 arrays — the path that scales
-            # to 10k+ variant TSVs.
-            self._write_table_fast(
-                exact, chrom, rs_ids_srtd, poss_srtd, src_file_base,
+            # Table-only runs stream row blocks through the device and
+            # never materialize the square f64/object matrices — the path
+            # that scales to 10k+ variant TSVs (BASELINE metric #2).
+            self._write_table_streamed(
+                G, chrom, rs_ids_srtd, poss_srtd, src_file_base,
                 trg_dir_path,
             )
             return
 
+        exact = exact_all_pairs(G)
         measure_vals = (
             exact.r_square_rounded()
             if cfg.ld_measure == "r_square"
             else exact.d_prime_rounded()
         )
-        r2_vals = exact.r_square_rounded()
-        dp_vals = exact.d_prime_rounded()
 
         need_info = cfg.matrix_type in ("heatmap", "both")
         ld_two_dim = [[0 for _ in range(vars_quan)] for _ in range(vars_quan)]
         info_two_dim = (
-            [[0 for _ in range(vars_quan)] for _ in range(vars_quan)]
+            self._hovertext_matrix(exact, cd, rows, rs_ids_srtd, poss_srtd)
             if need_info
             else None
         )
-        ann_cache = [variant_annotations(cd, r) for r in rows]
-        freqs = [round(float(v), 4) for v in exact.p1]
 
         for row_index in range(vars_quan):
+            row_vals = measure_vals[row_index]
+            ld_row = ld_two_dim[row_index]
             for col_index in range(row_index):
-                val = measure_vals[row_index, col_index]
-                if need_info:
-                    # Hovertext block, reference ld_triangle.py:201-213.
-                    x_alleles, x_type = ann_cache[col_index]
-                    y_alleles, y_type = ann_cache[row_index]
-                    info_two_dim[row_index][col_index] = f"""
-r2: {r2_vals[row_index, col_index]}<br>
-D': {dp_vals[row_index, col_index]}<br>
-abs_dist: {abs(poss_srtd[col_index] - poss_srtd[row_index])}<br><br>
-{rs_ids_srtd[col_index]}.hg38_pos: {poss_srtd[col_index]}<br>
-{rs_ids_srtd[row_index]}.hg38_pos: {poss_srtd[row_index]}<br><br>
-{rs_ids_srtd[col_index]}.alleles: {x_alleles}<br>
-{rs_ids_srtd[row_index]}.alleles: {y_alleles}<br><br>
-{rs_ids_srtd[col_index]}.type: {x_type}<br>
-{rs_ids_srtd[row_index]}.type: {y_type}<br><br>
-{rs_ids_srtd[col_index]}.alt_freq: {freqs[col_index]}<br>
-{rs_ids_srtd[row_index]}.alt_freq: {freqs[row_index]}
-"""
+                val = row_vals[col_index]
                 if cfg.ld_low_thres is not None and val < cfg.ld_low_thres:
                     continue  # sub-threshold cells stay 0 but keep hovertext
-                ld_two_dim[row_index][col_index] = val
+                ld_row[col_index] = val
 
         trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
         if cfg.matrix_type in ("heatmap", "both"):
@@ -251,45 +232,78 @@ def run(args) -> int:
     return total
 
 
-def _triangle_cells(exact, measure, thres):
-    """(numeric_strings, keep_mask) for the TSV fast path.
-
-    Reproduces the reference's cell semantics: cells above/on the
-    diagonal, below-threshold cells, and the initial value all print as
-    int '0'; monomorphic sentinels print '0'; everything else prints the
-    4-dp rounded value (ld_triangle.py:114, :223-230).
-    """
+def _hovertext_matrix(self, exact, cd, rows, rs_ids_srtd, poss_srtd):
+    """Lower-triangle hovertext blocks (reference ld_triangle.py:201-213),
+    byte-identical to the per-cell f-string but built from precomputed
+    per-variant fragments + vectorized value strings — the O(n^2) Python
+    formatting loop was the dominant host cost on 1k+ heatmaps."""
     import numpy as np
-
-    from ld_tools_tpu.ops.exact import format_rounded, round4
-
-    vals = exact.r_square if measure == "r_square" else exact.d_prime
-    int_zero = (
-        exact.r_square_is_int_zero
-        if measure == "r_square"
-        else exact.d_prime_is_int_zero
-    )
-    rounded = round4(vals)
-    rounded[int_zero] = 0.0
-    n = vals.shape[0]
-    keep = np.tril(np.ones((n, n), dtype=bool), -1)
-    if thres is not None:
-        keep &= rounded >= thres
-    return rounded, int_zero, keep
-
-
-def _write_table_fast(
-    self, exact, chrom, rs_ids_srtd, poss_srtd, src_file_base, trg_dir_path
-):
-    import os
 
     from ld_tools_tpu.ops.exact import format_rounded
 
-    cfg = self.config
-    rounded, int_zero, keep = _triangle_cells(
-        exact, cfg.ld_measure, cfg.ld_low_thres
-    )
     n = len(rs_ids_srtd)
+    ann = [variant_annotations(cd, r) for r in rows]
+    freqs = [round(float(v), 4) for v in exact.p1]
+    poss_arr = np.asarray(poss_srtd, dtype=np.int64)
+    # per-variant fragments; x = column variant, y = row variant
+    x_pos = [f"{rs_ids_srtd[k]}.hg38_pos: {poss_srtd[k]}<br>\n" for k in range(n)]
+    y_pos = [f"{rs_ids_srtd[k]}.hg38_pos: {poss_srtd[k]}<br><br>\n" for k in range(n)]
+    x_all = [f"{rs_ids_srtd[k]}.alleles: {ann[k][0]}<br>\n" for k in range(n)]
+    y_all = [f"{rs_ids_srtd[k]}.alleles: {ann[k][0]}<br><br>\n" for k in range(n)]
+    x_typ = [f"{rs_ids_srtd[k]}.type: {ann[k][1]}<br>\n" for k in range(n)]
+    y_typ = [f"{rs_ids_srtd[k]}.type: {ann[k][1]}<br><br>\n" for k in range(n)]
+    x_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}<br>\n" for k in range(n)]
+    y_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}\n" for k in range(n)]
+
+    info = [[0] * n for _ in range(n)]
+    join = "".join
+    for i in range(1, n):
+        r2_s = format_rounded(
+            exact.r_square[i, :i], exact.r_square_is_int_zero[i, :i]
+        )
+        dp_s = format_rounded(
+            exact.d_prime[i, :i], exact.d_prime_is_int_zero[i, :i]
+        )
+        dist_s = list(map(str, np.abs(poss_arr[:i] - poss_arr[i]).tolist()))
+        yp, ya, yt, yf = y_pos[i], y_all[i], y_typ[i], y_frq[i]
+        row = info[i]
+        for j in range(i):
+            row[j] = join((
+                "\nr2: ", r2_s[j], "<br>\nD': ", dp_s[j],
+                "<br>\nabs_dist: ", dist_s[j], "<br><br>\n",
+                x_pos[j], yp, x_all[j], ya, x_typ[j], yt, x_frq[j], yf,
+            ))
+    return info
+
+
+def _write_table_streamed(
+    self, G, chrom, rs_ids_srtd, poss_srtd, src_file_base, trg_dir_path,
+    row_block: int = 2048,
+):
+    """Streamed triangle TSV: row blocks of counts -> exact f64 finish ->
+    vectorized cell strings -> write.
+
+    Peak memory is O(row_block x V): a 10k-variant table (10^8 cells,
+    BASELINE metric #2) never materializes the square f64/object
+    matrices.  Cell semantics match the reference (ld_triangle.py:114,
+    :223-230): cells above/on the diagonal, below-threshold cells, and
+    monomorphic int-0 sentinels all print '0'; everything else prints
+    str(round(v, 4)).
+    """
+    import os
+
+    import numpy as np
+
+    from ld_tools_tpu.ops.engine import pair_counts
+    from ld_tools_tpu.ops.exact import (
+        exact_ld_from_counts,
+        format_rounded,
+        round4,
+    )
+
+    cfg = self.config
+    n = len(rs_ids_srtd)
+    n_hap = G.shape[1]
     trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
     path = os.path.join(trg_dir_path, trg_file_base + ".tsv")
     tab = "\t"
@@ -302,15 +316,36 @@ def _write_table_fast(
         )
         fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
         fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
-        for i in range(n):
-            cells = format_rounded(rounded[i], int_zero[i])
-            row = [
-                cells[j] if keep[i, j] else "0" for j in range(n)
-            ]
-            fh.write(
-                rs_ids_srtd[i] + "\t" + poss_str[i] + "\t"
-                + "\t".join(row) + "\n"
+        for r0 in range(0, n, row_block):
+            r1 = min(r0 + row_block, n)
+            # columns beyond the block's last row are all '0' (strict
+            # lower triangle) — never computed
+            c_ab, c1r, c1c = pair_counts(G[r0:r1], G[:r1])
+            exact = exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+            vals = (
+                exact.r_square
+                if cfg.ld_measure == "r_square"
+                else exact.d_prime
             )
+            int_zero = (
+                exact.r_square_is_int_zero
+                if cfg.ld_measure == "r_square"
+                else exact.d_prime_is_int_zero
+            )
+            rounded = round4(vals)
+            rounded[int_zero] = 0.0
+            for k in range(r1 - r0):
+                r = r0 + k
+                cells = format_rounded(rounded[k, :r], int_zero[k, :r])
+                if cfg.ld_low_thres is not None:
+                    cells = np.where(
+                        rounded[k, :r] >= cfg.ld_low_thres, cells, "0"
+                    )
+                fh.write(
+                    rs_ids_srtd[r] + "\t" + poss_str[r] + "\t"
+                    + "\t".join(cells.tolist() + ["0"] * (n - r)) + "\n"
+                )
 
 
-TriangleRunner._write_table_fast = _write_table_fast
+TriangleRunner._hovertext_matrix = _hovertext_matrix
+TriangleRunner._write_table_streamed = _write_table_streamed

@@ -112,3 +112,123 @@ def test_mt_error_reporting(tmp_path, built):
                     extra_records=extra, bgzf=True, bgzf_block=256)
     with pytest.raises(native.NativeScanError):
         native.scan(path, n_threads=4)
+
+
+# ---------------------------------------------------------------------------
+# Native exact finisher (native/exactfinish.cpp)
+
+exactfinish = pytest.importorskip("ld_tools_tpu.ops._exactfinish_ctypes")
+
+
+@pytest.fixture(scope="module")
+def finisher_built():
+    try:
+        exactfinish._load()
+    except exactfinish.NativeUnavailable as exc:
+        pytest.skip(f"native finisher unavailable: {exc}")
+
+
+def _numpy_reference_finish(c_ab, c1, c2, n_hap):
+    """The numpy reference path, bypassing the native gate (f64 input)."""
+    from ld_tools_tpu.ops.exact import exact_ld_from_counts
+
+    return exact_ld_from_counts(np.asarray(c_ab, np.float64), c1, c2, n_hap)
+
+
+def test_native_finish_block_bit_matches_numpy(finisher_built):
+    """Block finisher must be BIT-identical to the numpy op order on
+    random counts including monomorphic rows/cols and zero counts."""
+    rng = np.random.default_rng(3)
+    n_hap = 5008
+    nr, nc = 160, 130
+    c1r = rng.integers(0, n_hap + 1, nr).astype(np.float64)
+    c1c = rng.integers(0, n_hap + 1, nc).astype(np.float64)
+    c1r[0] = 0
+    c1r[1] = n_hap
+    c1c[2] = 0
+    c1c[3] = n_hap
+    cab = np.floor(
+        np.minimum.outer(c1r, c1c) * rng.random((nr, nc))
+    ).astype(np.int32)
+    cab[0, :] = 0
+    cab[1, :] = c1c.astype(np.int32)
+    r2, dp, r2z, dpz = exactfinish.finish_block(cab, c1r, c1c, float(n_hap))
+    ref = _numpy_reference_finish(cab, c1r, c1c, n_hap)
+    np.testing.assert_array_equal(r2, ref.r_square)
+    np.testing.assert_array_equal(dp, ref.d_prime)
+    np.testing.assert_array_equal(r2z, ref.r_square_is_int_zero)
+    np.testing.assert_array_equal(dpz, ref.d_prime_is_int_zero)
+
+
+def test_native_finish_threaded_matches_single(finisher_built):
+    rng = np.random.default_rng(5)
+    n_hap = 64
+    nr, nc = 700, 900  # above the internal threading threshold
+    c1r = rng.integers(0, n_hap + 1, nr).astype(np.float64)
+    c1c = rng.integers(0, n_hap + 1, nc).astype(np.float64)
+    cab = np.floor(
+        np.minimum.outer(c1r, c1c) * rng.random((nr, nc))
+    ).astype(np.int32)
+    a = exactfinish.finish_block(cab, c1r, c1c, float(n_hap), n_threads=1)
+    b = exactfinish.finish_block(cab, c1r, c1c, float(n_hap), n_threads=4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_native_finish_pairs_bit_matches_numpy(finisher_built):
+    from ld_tools_tpu.ops.exact import ExactLD  # noqa: F401
+
+    rng = np.random.default_rng(8)
+    n_hap = 5008
+    k = 5000
+    c1a = rng.integers(0, n_hap + 1, k).astype(np.float64)
+    c1b = rng.integers(0, n_hap + 1, k).astype(np.float64)
+    c1a[0] = 0
+    c1b[1] = n_hap
+    cab = np.floor(np.minimum(c1a, c1b) * rng.random(k))
+    r2, dp, r2z, dpz = exactfinish.finish_pairs(cab, c1a, c1b, float(n_hap))
+    # elementwise numpy order (exact_ld_elementwise below its native gate)
+    from ld_tools_tpu.ops.exact import exact_ld_elementwise
+
+    ref = exact_ld_elementwise(cab, c1a, c1b, n_hap)
+    np.testing.assert_array_equal(r2, ref.r_square)
+    np.testing.assert_array_equal(dp, ref.d_prime)
+    np.testing.assert_array_equal(r2z, ref.r_square_is_int_zero)
+    np.testing.assert_array_equal(dpz, ref.d_prime_is_int_zero)
+
+
+def test_exact_ld_from_counts_routes_native(finisher_built):
+    """The public entry must give identical ExactLD through both engines
+    (int32 input -> native; f64 input -> numpy)."""
+    rng = np.random.default_rng(9)
+    n_hap = 300
+    nr = nc = 80  # 6400 cells >= 4096 gate
+    from ld_tools_tpu.ops.exact import exact_ld_from_counts
+
+    c1r = rng.integers(0, n_hap + 1, nr).astype(np.float64)
+    c1c = rng.integers(0, n_hap + 1, nc).astype(np.float64)
+    cab = np.floor(
+        np.minimum.outer(c1r, c1c) * rng.random((nr, nc))
+    ).astype(np.int32)
+    via_native = exact_ld_from_counts(cab, c1r, c1c, n_hap)
+    via_numpy = exact_ld_from_counts(
+        cab.astype(np.float64), c1r, c1c, n_hap
+    )
+    np.testing.assert_array_equal(via_native.r_square, via_numpy.r_square)
+    np.testing.assert_array_equal(via_native.d_prime, via_numpy.d_prime)
+    np.testing.assert_array_equal(
+        via_native.r_square_is_int_zero, via_numpy.r_square_is_int_zero
+    )
+
+
+def test_native_round4_matches_python_round(finisher_built):
+    from ld_tools_tpu.ops.exact import round4
+
+    rng = np.random.default_rng(12)
+    # force the native gate (>= 65536 elements) and include decimal ties
+    xs = rng.random(70000)
+    xs[:10] = [0.00005, 0.00015, 0.5, 0.12345, 0.99995, -0.25,
+               0.54321, 0.00004999999, 1.0, 0.0]
+    got = round4(xs)
+    want = np.array([round(float(v), 4) for v in xs])
+    np.testing.assert_array_equal(got, want)

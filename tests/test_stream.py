@@ -71,7 +71,7 @@ def test_scan_empty_result(rng):
 def test_format_rounded():
     vals = np.array([0.8237, 0.5, 1.0, 0.0, 0.0001, 0.9999])
     int_zero = np.array([False, False, False, False, False, False])
-    assert format_rounded(vals, int_zero) == [
+    assert list(format_rounded(vals, int_zero)) == [
         "0.8237", "0.5", "1.0", "0.0", "0.0001", "0.9999",
     ]
     int_zero = np.array([True, False, False, True, False, False])
@@ -80,7 +80,15 @@ def test_format_rounded():
     # parity with str(round(x, 4)) on random values
     rng = np.random.default_rng(4)
     xs = np.round(rng.random(500), 4)
-    assert format_rounded(xs) == [str(round(float(x), 4)) for x in xs]
+    assert list(format_rounded(xs)) == [str(round(float(x), 4)) for x in xs]
+    # negative D' values and negative-zero must match Python str() too
+    neg = np.array([-0.25, -1.0, -0.0001, -0.00001, -0.99995])
+    assert list(format_rounded(neg)) == [str(round(float(x), 4)) for x in neg]
+    # full 4-dp grid parity in [-1, 1]
+    grid = np.arange(-10000, 10001) / 1e4
+    assert list(format_rounded(grid)) == [
+        str(round(float(x), 4)) for x in grid
+    ]
 
 
 def test_scan_checkpoint_resume(rng, tmp_path):
