@@ -8,15 +8,15 @@ rs1 rs2 -D <dir> ...``); locale selects RU/EN help like the reference
 
 __version__ = "V1.0-tpu"
 
-import locale
 import sys
 
 sys.dont_write_bytecode = True
 
 
 def main():
-    loc = locale.getdefaultlocale()[0]
-    if loc is not None and loc[:2] == "ru":
+    from ld_tools_tpu.utils.locale_detect import ui_language
+
+    if ui_language() == "ru":
         from ld_tools_tpu.cli.ld_lite_cli_ru import add_args_ru as add_args
     else:
         from ld_tools_tpu.cli.ld_lite_cli_en import add_args_en as add_args

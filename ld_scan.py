@@ -3,7 +3,6 @@
 
 __version__ = "V1.0-tpu"
 
-import locale
 import sys
 
 sys.dont_write_bytecode = True
@@ -11,9 +10,9 @@ sys.dont_write_bytecode = True
 
 def main():
     from ld_tools_tpu.cli.ld_scan_cli import add_args_en, add_args_ru
+    from ld_tools_tpu.utils.locale_detect import ui_language
 
-    loc = locale.getdefaultlocale()[0]
-    add_args = add_args_ru if loc is not None and loc[:2] == "ru" else add_args_en
+    add_args = add_args_ru if ui_language() == "ru" else add_args_en
     args = add_args(__version__)
     from ld_tools_tpu.tools.scan import run
 

@@ -360,6 +360,10 @@ class LineReader {
     if (gz_ != nullptr) gzclose(gz_);
   }
   bool ok() const { return gz_ != nullptr; }
+  // non-empty after next_line() returns false iff the stream ended badly
+  // (truncated/corrupt compressed data must NOT silently read as a
+  // shorter file — the reference's htslib layer errors there too)
+  const std::string& stream_error() const { return stream_error_; }
 
   bool next_line(const char** line, size_t* len) {
     line_.clear();
@@ -367,6 +371,12 @@ class LineReader {
       if (pos_ == avail_) {
         int n = gzread(gz_, buf_, sizeof(buf_));
         if (n <= 0) {
+          int errnum = Z_OK;
+          gzerror(gz_, &errnum);
+          if (n < 0 || (errnum != Z_OK && errnum != Z_STREAM_END)) {
+            stream_error_ = "truncated or corrupt compressed stream";
+            return false;
+          }
           if (line_.empty()) return false;
           *line = line_.data();
           *len = line_.size();
@@ -396,6 +406,7 @@ class LineReader {
   char buf_[1 << 20];
   size_t pos_ = 0, avail_ = 0;
   std::string line_;
+  std::string stream_error_;
 };
 
 void scan_single_threaded(const char* path, VpResult* r) {
@@ -434,6 +445,10 @@ void scan_single_threaded(const char* path, VpResult* r) {
       case LineVerdict::kError:
         return;
     }
+  }
+  if (!reader.stream_error().empty()) {
+    r->error = reader.stream_error();
+    return;
   }
   emitter.finish();
 }

@@ -1,5 +1,7 @@
 """CLI surface: RU/EN parity and reference flag-compatibility."""
 
+import os
+
 from ld_tools_tpu.cli import _shared
 from ld_tools_tpu.cli.ld_area_cli_en import TEXT as AREA_EN
 from ld_tools_tpu.cli.ld_area_cli_ru import TEXT as AREA_RU
@@ -93,3 +95,42 @@ def test_parse_args_roundtrip():
     assert args.ld_low_thres == 0.9
     assert args.trg_file_type == "json"
     assert args.pop_names == "eur,gbr"
+
+
+def test_ui_language_detection(monkeypatch):
+    from ld_tools_tpu.utils.locale_detect import ui_language
+
+    for var in ("LANGUAGE", "LC_ALL", "LC_MESSAGES", "LANG"):
+        monkeypatch.delenv(var, raising=False)
+    assert ui_language() == "en"
+    monkeypatch.setenv("LANG", "ru_RU.UTF-8")
+    assert ui_language() == "ru"
+    monkeypatch.setenv("LC_ALL", "en_US.UTF-8")  # higher priority wins
+    assert ui_language() == "en"
+    monkeypatch.setenv("LANGUAGE", "ru")
+    assert ui_language() == "ru"
+
+
+def test_merge_to_folder_invocations(tmp_path):
+    """Reference invocation is two positionals
+    (/root/reference/scripts/merge_to_folder.py:20-24); -S/-T stay as
+    aliases."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "tree" / "deep"
+    src.mkdir(parents=True)
+    (src / "x.tsv").write_text("data\n")
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "merge_to_folder.py",
+    )
+    for argv in (
+        [str(tmp_path / "tree"), str(tmp_path / "flat1")],
+        ["-S", str(tmp_path / "tree"), "-T", str(tmp_path / "flat2")],
+    ):
+        r = subprocess.run([sys.executable, script] + argv,
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+    assert (tmp_path / "flat1" / "x.tsv").read_text() == "data\n"
+    assert (tmp_path / "flat2" / "x.tsv").read_text() == "data\n"

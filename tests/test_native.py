@@ -232,3 +232,84 @@ def test_native_round4_matches_python_round(finisher_built):
     got = round4(xs)
     want = np.array([round(float(v), 4) for v in xs])
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-input fuzz seams (CRLF, FORMAT extras, truncation, ragged rows)
+
+def _write_gz_text(path, lines, crlf=False):
+    import gzip
+
+    nl = "\r\n" if crlf else "\n"
+    with gzip.open(path, "wt") as fh:
+        fh.write(nl.join(lines) + nl)
+
+
+_HDR = [
+    "##fileformat=VCFv4.1",
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+]
+
+
+def _rec(pos, rsid, gt1, gt2, fmt="GT", info="VT=SNP"):
+    return f"1\t{pos}\t{rsid}\tA\tG\t.\tPASS\t{info}\t{fmt}\t{gt1}\t{gt2}"
+
+
+def test_native_crlf_lines_match_python(tmp_path, built):
+    path = str(tmp_path / "crlf.vcf.gz")
+    _write_gz_text(
+        path, _HDR + [_rec(100, "rs1", "0|1", "1|1"),
+                      _rec(200, "rs2", "1|0", "0|0")], crlf=True,
+    )
+    g, pos, rsid, *_ = native.scan(path)
+    recs = list(iter_records(path))
+    assert rsid == [r.rsid for r in recs] == ["rs1", "rs2"]
+    np.testing.assert_array_equal(g, np.vstack([r.genotypes for r in recs]))
+
+
+def test_native_format_extras_match_python(tmp_path, built):
+    """FORMAT columns beyond GT (GT:DP:...) must parse the leading GT."""
+    path = str(tmp_path / "fmt.vcf.gz")
+    _write_gz_text(
+        path, _HDR + [_rec(100, "rs1", "0|1:35", "1|1:7", fmt="GT:DP"),
+                      _rec(300, "rs3", "1|1:2:x", "0|1:9:y", fmt="GT:DP:Z")],
+    )
+    g, pos, rsid, *_ = native.scan(path)
+    recs = list(iter_records(path))
+    assert rsid == [r.rsid for r in recs]
+    np.testing.assert_array_equal(g, np.vstack([r.genotypes for r in recs]))
+
+
+def test_native_truncated_bgzf_errors(tmp_path, built):
+    """A truncated compressed stream must ERROR, never silently read as a
+    shorter file — on both the single-threaded and block-parallel paths."""
+    rng = np.random.default_rng(21)
+    G = synth.correlated_haplotypes(rng, 60, 2 * 7)
+    panel = synth.make_panel(7, rng)
+    full = str(tmp_path / "full.vcf.gz")
+    synth.write_vcf(full, "2", [r[0] for r in panel], G,
+                    bgzf=True, bgzf_block=512)
+    data = open(full, "rb").read()
+    trunc = str(tmp_path / "trunc.vcf.gz")
+    open(trunc, "wb").write(data[: len(data) // 2])
+    for n_threads in (1, 4):
+        with pytest.raises(native.NativeScanError):
+            native.scan(trunc, n_threads=n_threads)
+
+
+def test_native_ragged_genotype_row_errors(tmp_path, built):
+    path = str(tmp_path / "rag.vcf.gz")
+    _write_gz_text(
+        path, _HDR + ["1\t100\trs1\tA\tG\t.\tPASS\tVT=SNP\tGT\t0|1"],
+    )
+    with pytest.raises(native.NativeScanError):
+        native.scan(path)
+
+
+def test_native_haploid_and_missing_alleles_error(tmp_path, built):
+    for name, gts in (("hap", ("0", "1|1")), ("miss", (".|1", "1|1")),
+                      ("code", ("0|2", "1|1"))):
+        path = str(tmp_path / f"{name}.vcf.gz")
+        _write_gz_text(path, _HDR + [_rec(100, "rs1", *gts)])
+        with pytest.raises(native.NativeScanError):
+            native.scan(path)
