@@ -11,17 +11,24 @@ The query surface the three workloads need (SURVEY.md §3):
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ld_tools_tpu.ingest import pack
 
 
 class ChromData:
-    """One chromosome's packed haplotype matrix + sidecars, lazily unpacked."""
+    """One chromosome's packed haplotype matrix + sidecars, lazily unpacked.
+
+    Lazy loads are lock-guarded so concurrent tool workers (tools/common.
+    map_files) never unpack the same matrix twice.
+    """
 
     def __init__(self, intgen_dir_path: str, chrom: str):
         self.chrom = chrom
         self._dir = intgen_dir_path
+        self._lock = threading.Lock()
         if not pack.is_packed(intgen_dir_path, chrom):
             raise FileNotFoundError(
                 f"chromosome {chrom} is not packed under "
@@ -43,14 +50,22 @@ class ChromData:
     @property
     def rsid(self) -> np.ndarray:
         if self._rsid is None:
-            self._rsid = pack.read_sidecar(self._dir, self.chrom, "rsid")
+            with self._lock:
+                if self._rsid is None:
+                    self._rsid = pack.read_sidecar(
+                        self._dir, self.chrom, "rsid"
+                    )
         return self._rsid
 
     @property
     def genotypes(self) -> np.ndarray:
         """(V, H) int8 {0,1}; unpacked once and cached."""
         if self._G is None:
-            self._G = pack.read_genotypes(self._dir, self.chrom, self.n_haplotypes)
+            with self._lock:
+                if self._G is None:
+                    self._G = pack.read_genotypes(
+                        self._dir, self.chrom, self.n_haplotypes
+                    )
         return self._G
 
     def genotype_rows(self, rows) -> np.ndarray:
@@ -63,17 +78,17 @@ class ChromData:
         rows = np.asarray(rows, dtype=np.int64)
         if self._G is not None:
             return self._G[rows]
-        if self._packed is None:
-            self._packed = pack.read_packed(self._dir, self.chrom)
         return np.unpackbits(
-            self._packed[rows], axis=1, count=self.n_haplotypes
+            self.packed[rows], axis=1, count=self.n_haplotypes
         ).astype(np.int8)
 
     @property
     def packed(self) -> np.ndarray:
         """(V, ceil(H/8)) uint8 bitpacked matrix, memory-mapped."""
         if self._packed is None:
-            self._packed = pack.read_packed(self._dir, self.chrom)
+            with self._lock:
+                if self._packed is None:
+                    self._packed = pack.read_packed(self._dir, self.chrom)
         return self._packed
 
     def cohort_packed(self, sample_names):
@@ -93,7 +108,11 @@ class ChromData:
     def annotation(self, name: str) -> np.ndarray:
         """'ref' | 'alt' | 'vt' sidecar."""
         if name not in self._ann:
-            self._ann[name] = pack.read_sidecar(self._dir, self.chrom, name)
+            with self._lock:
+                if name not in self._ann:
+                    self._ann[name] = pack.read_sidecar(
+                        self._dir, self.chrom, name
+                    )
         return self._ann[name]
 
     def row_of(self, rsid: str):
@@ -103,7 +122,7 @@ class ChromData:
             idx = {}
             for i, rid in enumerate(self.rsid):
                 idx.setdefault(rid, i)
-            self._row_index = idx
+            self._row_index = idx  # atomic publish; rebuild race is benign
         return self._row_index.get(rsid)
 
     def window(self, low_bound: int, high_bound: int):

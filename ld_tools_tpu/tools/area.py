@@ -259,12 +259,15 @@ class AreaRunner:
 def run(args) -> int:
     """CLI entry: process every file in the source directory.
 
-    The reference fans source files out over a process pool capped at 8
-    (ld_area.py:324-339); device work serializes on the accelerator, so
-    files run sequentially here and parallelism lives on the device mesh
-    (ld_tools_tpu/parallel/).  Returns total result files written.
+    Honors -p/--max-proc-quan like the reference's process pool
+    (ld_area.py:324-339), as a thread pool: device calls serialize on the
+    accelerator queue, while each file's host-side stages (input parsing,
+    exact f64 finish, formatting, writes) overlap other files' device
+    compute (tools/common.map_files).  Returns total result files written.
     """
     import datetime
+
+    from ld_tools_tpu.tools.common import map_files
 
     data = DataConfig.resolve(
         args.intgen_dir_path,
@@ -274,16 +277,18 @@ def run(args) -> int:
     )
     config = AreaConfig.from_args(args)
     runner = AreaRunner(data, config)
-    src_file_names = sorted(os.listdir(config.src_dir_path))
+    src_file_names = [
+        name
+        for name in sorted(os.listdir(config.src_dir_path))
+        if os.path.isfile(os.path.join(config.src_dir_path, name))
+    ]
 
     print("\nSelecting variants in LD and in window")
     with maybe_trace():
         t0 = datetime.datetime.now()
-        total = 0
-        for name in src_file_names:
-            full = os.path.join(config.src_dir_path, name)
-            if not os.path.isfile(full):
-                continue
-            total += runner.process_file(name)
+        total = sum(map_files(
+            runner.process_file, src_file_names,
+            getattr(args, "max_proc_quan", 1),
+        ))
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return total

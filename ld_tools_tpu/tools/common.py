@@ -86,6 +86,28 @@ class DataConfig:
         return HaplotypeStore(self.intgen_dir_path)
 
 
+def map_files(fn, names, max_proc_quan) -> list:
+    """Reference-compatible source-file fan-out (-p/--max-proc-quan).
+
+    The reference runs up to ``min(max_proc_quan, n_files, 8)`` worker
+    PROCESSES over source files (ld_area.py:324-339,
+    ld_triangle.py:394-408).  Here the workers are threads: device work
+    serializes on the accelerator queue either way, while the host-side
+    stages (input-table parsing, bit-exact f64 finish, cell formatting,
+    file writes) all release the GIL inside numpy/JAX/native code — so
+    file N's host work overlaps file N+1's device compute.  Results keep
+    input order.
+    """
+    names = list(names)
+    n = min(int(max_proc_quan or 1), len(names), 8)
+    if n <= 1 or len(names) <= 1:
+        return [fn(x) for x in names]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        return list(pool.map(fn, names))
+
+
 def check_rs_id(rs_id: str, cursor):
     """Validate an input rsID and return (CHROM, POS)
     (reference ld_lite.py:33-45)."""

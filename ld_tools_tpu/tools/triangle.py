@@ -207,8 +207,15 @@ populations: {", ".join(self.data.pop_names)}
 
 
 def run(args) -> int:
-    """CLI entry: build matrices for every file in the source directory."""
+    """CLI entry: build matrices for every file in the source directory.
+
+    Honors -p/--max-proc-quan like the reference's process pool
+    (ld_triangle.py:394-408), as a thread pool overlapping host-side work
+    with device compute across files (tools/common.map_files).
+    """
     import datetime
+
+    from ld_tools_tpu.tools.common import map_files
 
     data = DataConfig.resolve(
         args.intgen_dir_path,
@@ -218,16 +225,19 @@ def run(args) -> int:
     )
     config = TriangleConfig.from_args(args)
     runner = TriangleRunner(data, config)
-    src_file_names = sorted(os.listdir(config.src_dir_path))
+    src_file_names = [
+        name
+        for name in sorted(os.listdir(config.src_dir_path))
+        if os.path.isfile(os.path.join(config.src_dir_path, name))
+    ]
 
     print("\nLD matrix(-es) creation")
     with maybe_trace():
         t0 = datetime.datetime.now()
-        total = 0
-        for name in src_file_names:
-            if not os.path.isfile(os.path.join(config.src_dir_path, name)):
-                continue
-            total += runner.process_file(name)
+        total = sum(map_files(
+            runner.process_file, src_file_names,
+            getattr(args, "max_proc_quan", 1),
+        ))
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return total
 

@@ -405,3 +405,47 @@ def test_scan_tool_oracle_parity_and_device_sharding(env, tmp_path):
         assert float(r[5]) == out["r_square"]
         assert float(r[6]) == out["d_prime"]
         assert int(r[4]) == pos_of[key[0]] - pos_of[key[1]]
+
+
+def test_max_proc_quan_overlap_identical_outputs(env, tmp_path):
+    """-p N (reference ld_area.py:324-339 / ld_triangle.py:394-408) fans
+    source files over workers; outputs must be byte-identical to the
+    sequential run for both tools."""
+    src = str(tmp_path / "multi_src")
+    os.makedirs(src)
+    rs5 = list(env.rs_by_chrom["5"])
+    rs11 = list(env.rs_by_chrom["11"])
+    for k, sel in enumerate((rs5[:6], rs5[6:14], rs11, rs5[::2])):
+        with open(os.path.join(src, f"q{k}.txt"), "w") as fh:
+            fh.write("\n".join(sel) + "\n")
+
+    def tree(trg):
+        out = {}
+        for dirpath, _, files in os.walk(trg):
+            for name in files:
+                p = os.path.join(dirpath, name)
+                with open(p) as fh:
+                    out[os.path.relpath(p, trg)] = fh.read()
+        return out
+
+    for tool, extra in (
+        (area, dict(flank_size=10**6, ld_thres_measure="r_square",
+                    ld_low_thres=0.3, trg_file_type="tsv")),
+        (triangle, dict(ld_measure="r_square", ld_low_thres=None,
+                        matrix_type="table", heatmap_json=False,
+                        disp_letters=False, color_pal="greens",
+                        font_size=None, square_shape=False,
+                        dont_disp_footer=False)),
+    ):
+        trees = {}
+        for p in (1, 4):
+            trg = str(tmp_path / f"{tool.__name__.split('.')[-1]}_p{p}")
+            args = types.SimpleNamespace(
+                src_dir_path=src, intgen_dir_path=env.intgen,
+                trg_top_dir_path=trg, meta_lines_quan=0,
+                skip_intgen_data_ver=True, gend_names="both",
+                pop_names="all", max_proc_quan=p, **extra,
+            )
+            tool.run(args)
+            trees[p] = tree(trg)
+        assert trees[1] and trees[1] == trees[4]
