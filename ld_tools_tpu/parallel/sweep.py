@@ -59,13 +59,18 @@ def _pad_rows_np(G: np.ndarray, v_pad: int) -> np.ndarray:
 
 
 def _band_ld(g_rows, g_cols, c1_rows, c1_cols, n_hap):
-    """Dense band x block fused counts + epilogue (f32 fast path)."""
+    """Dense band x block fused counts + epilogue (f32 fast path).
+
+    int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e+); the {0,1}
+    counts are exact integers either way, so the epilogue sees identical
+    values.
+    """
     c_ab = jax.lax.dot_general(
-        g_rows.astype(jnp.bfloat16),
-        g_cols.astype(jnp.bfloat16),
+        g_rows.astype(jnp.int8),
+        g_cols.astype(jnp.int8),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
     out = ld_from_counts(c_ab, c1_rows, c1_cols, n_hap)
     return out["r_square"], out["d_prime"]
 

@@ -1,20 +1,27 @@
 #!/usr/bin/env python3
-"""Full benchmark suite: the five BASELINE.json configs.
+"""Full benchmark suite: the BASELINE.json configs, with a JSON artifact.
 
-Run on real TPU hardware.  Each config prints one labelled line; the
-headline driver metric stays in bench.py (one JSON line).
+Run on real TPU hardware (default platform).  Each config prints one
+labelled line AND contributes a record to the JSON artifact
+(--out BENCH_suite_rNN.json); the headline driver metric stays in
+bench.py (one JSON line).
 
 Configs (BASELINE.md):
+0. ingest: native BGZF scanner throughput (single vs multi-thread).
 1. ld_lite pair on a synthetic 100 x 2504-sample phased slab.
 2. ld_triangle 500 variants, EUR superpopulation subset.
 3. ld_area LD >= 0.8, 50 query rsIDs, 250 kb flanks, one chromosome.
-4. chr21-scale: 100k x 5008 all-pairs streamed sweep, one host.
+4. chr21-scale: 100k x 5008 all-pairs streamed scan, one host.
 5. multi-chromosome batch: 8 chromosomes data-parallel (simulated on
    one host by round-robin over the local process; multi-host runs use
    jax.distributed + parallel/batch.py unchanged).
+6. BASELINE metric #2 end-to-end: 10k-variant ld_triangle -o table wall
+   time (device counts + bit-exact host finish + streamed TSV write),
+   plus a 2,000-variant heatmap (HTML+hovertext) timing.
 """
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -24,6 +31,14 @@ import types
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = []
+
+
+def record(name, seconds, **extra):
+    rec = {"config": name, "seconds": round(seconds, 3), **extra}
+    RESULTS.append(rec)
+    return rec
 
 
 def _env(n_samples, chrom_variant_counts, seed=0):
@@ -40,9 +55,6 @@ def _env(n_samples, chrom_variant_counts, seed=0):
 
 def config0():
     """Ingest: native BGZF scanner throughput (single vs multi-thread)."""
-    import os
-    import tempfile
-
     from ld_tools_tpu.ingest import native, synth
 
     rng = np.random.default_rng(0)
@@ -62,11 +74,14 @@ def config0():
         if out is None:
             print("config0 ingest: native scanner unavailable")
             return
+        mbps = text_bytes / best / 1e6
         print(
             f"config0 ingest nt={n_threads}: {best:.2f}s, "
-            f"{text_bytes / best / 1e6:.0f} MB/s VCF text, "
-            f"{n_var / best:.0f} variants/s"
+            f"{mbps:.0f} MB/s VCF text, {n_var / best:.0f} variants/s"
         )
+        record("0_ingest", best, n_threads=n_threads,
+               mb_per_s=round(mbps, 1),
+               variants_per_s=round(n_var / best, 1))
 
 
 def config1():
@@ -80,7 +95,9 @@ def config1():
     )
     t0 = time.time()
     lite.run(args)
-    print(f"config1 ld_lite pair (100x2504 slab): {time.time() - t0:.2f}s")
+    dt = time.time() - t0
+    print(f"config1 ld_lite pair (100x2504 slab): {dt:.2f}s")
+    record("1_ld_lite_pair", dt)
 
 
 def config2():
@@ -100,7 +117,9 @@ def config2():
     )
     t0 = time.time()
     triangle.run(args)
-    print(f"config2 ld_triangle 500 vars EUR: {time.time() - t0:.2f}s")
+    dt = time.time() - t0
+    print(f"config2 ld_triangle 500 vars EUR: {dt:.2f}s")
+    record("2_ld_triangle_500_eur", dt)
 
 
 def config3():
@@ -118,10 +137,14 @@ def config3():
     )
     t0 = time.time()
     area.run(args)
-    print(f"config3 ld_area 50 queries 250kb: {time.time() - t0:.2f}s")
+    dt = time.time() - t0
+    print(f"config3 ld_area 50 queries 250kb: {dt:.2f}s")
+    record("3_ld_area_50q_250kb", dt)
 
 
 def config4():
+    import jax
+
     from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
 
     rng = np.random.default_rng(4)
@@ -135,16 +158,34 @@ def config4():
     G = np.where(rng.random(G.shape) < 0.02, 1 - G, G).astype(np.int8)
     pos = np.sort(rng.choice(46_000_000, size=V, replace=False))
     pairs = V * (V - 1) / 2
+    use_pallas = jax.default_backend() not in ("cpu",)  # the tool's auto
     t0 = time.time()
     hits = stream_threshold_scan(
         G, pos=pos.astype(np.int64), measure="r_square", thres=0.8,
-        exact=False,
+        use_pallas=use_pallas, exact=False,
+    )
+    dt = time.time() - t0
+    gpps = pairs / dt / 1e9
+    print(
+        f"config4 chr21-scale 100k sweep: {dt:.1f}s, "
+        f"{gpps:.1f} Gpairs/s, {len(hits.i)} hits"
+    )
+    record("4_chr21_scan_100k", dt, gpairs_per_s=round(gpps, 2),
+           hits=int(len(hits.i)), use_pallas=use_pallas)
+    # exact=True repeats the scan with the bit-exact hit refinish — the
+    # tool-default configuration (counts come back from the fetch pass)
+    t0 = time.time()
+    hits = stream_threshold_scan(
+        G, pos=pos.astype(np.int64), measure="r_square", thres=0.8,
+        use_pallas=use_pallas, exact=True,
     )
     dt = time.time() - t0
     print(
-        f"config4 chr21-scale 100k sweep: {dt:.1f}s, "
-        f"{pairs / dt / 1e9:.1f} Gpairs/s, {len(hits.i)} hits"
+        f"config4b chr21-scale exact refinish: {dt:.1f}s, "
+        f"{pairs / dt / 1e9:.1f} Gpairs/s, {len(hits.i)} exact hits"
     )
+    record("4b_chr21_scan_100k_exact", dt,
+           gpairs_per_s=round(pairs / dt / 1e9, 2), hits=int(len(hits.i)))
 
 
 def config5():
@@ -163,23 +204,111 @@ def config5():
         r2.block_until_ready()
         total_pairs += V * (V + 1) / 2
     dt = time.time() - t0
+    gpps = total_pairs / dt / 1e9
     print(
         f"config5 8-chromosome batch ({len(mine)} on this host): "
-        f"{dt:.1f}s, {total_pairs / dt / 1e9:.1f} Gpairs/s"
+        f"{dt:.1f}s, {gpps:.1f} Gpairs/s"
     )
+    record("5_batch_8chrom", dt, gpairs_per_s=round(gpps, 2),
+           chroms_on_host=len(mine))
+
+
+def config6():
+    """BASELINE metric #2: 10k-variant matrix wall time, end-to-end."""
+    import types as _t
+
+    from ld_tools_tpu.tools.triangle import TriangleRunner, TriangleConfig
+
+    rng = np.random.default_rng(6)
+    n_hap = 5008
+
+    def runner(measure="r_square", thres=None, mtype="table"):
+        cfg = TriangleConfig(
+            src_dir_path=".", trg_top_dir_path=".", meta_lines_quan=0,
+            ld_measure=measure, ld_low_thres=thres, matrix_type=mtype,
+            heatmap_json=False, disp_letters=False, color_pal="greens",
+            font_size=None, square_shape=False, dont_disp_footer=False,
+        )
+        return _t.SimpleNamespace(
+            config=cfg,
+            data=_t.SimpleNamespace(pop_names=("ALL",),
+                                    gend_names=("male", "female")),
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="tpu_ld_tri10k_")
+    # 10k-variant TSV table (the scalable path)
+    V = 10_000
+    G = (
+        rng.random((V, n_hap)) < rng.uniform(0.05, 0.95, (V, 1))
+    ).astype(np.int8)
+    self = runner()
+    rs = [f"rs{i}" for i in range(V)]
+    poss = list(range(10_000, 10_000 + V))
+    # warm the device kernels outside the timed region (one tiny block)
+    TriangleRunner._write_table_streamed(
+        self, G[:256], "0", rs[:256], poss[:256], "warm", out_dir
+    )
+    t_dev = time.time()
+    TriangleRunner._write_table_streamed(
+        self, G, "21", rs, poss, "bench10k", out_dir
+    )
+    dt = time.time() - t_dev
+    size_mb = os.path.getsize(
+        os.path.join(out_dir, "bench10k_chr21_r.tsv")) / 1e6
+    print(
+        f"config6 ld_triangle 10k-variant table: {dt:.1f}s "
+        f"({V * V / dt / 1e6:.0f} Mcells/s, {size_mb:.0f} MB TSV)"
+    )
+    record("6_triangle_10k_table", dt,
+           mcells_per_s=round(V * V / dt / 1e6, 1),
+           tsv_mb=round(size_mb, 1))
+
+    # 2,000-variant heatmap (HTML + full hovertext) — the presentation
+    # path; the reference's practical cap is ~500 (README.md:74)
+    from ld_tools_tpu.ops.engine import exact_all_pairs
+
+    V2 = 2000
+    G2 = G[:V2]
+    t0 = time.time()
+    exact = exact_all_pairs(G2)
+    ann = _t.SimpleNamespace()  # minimal ChromData stand-in for hovertext
+
+    class _CD:
+        def annotation(self, name):
+            return np.asarray(["A"] * V2)
+
+    info = TriangleRunner._hovertext_matrix(
+        self, exact, _CD(), list(range(V2)), rs[:V2], poss[:V2]
+    )
+    dt = time.time() - t0
+    print(f"config6b heatmap hovertext 2000 vars: {dt:.1f}s "
+          f"({V2 * V2 / 2 / dt / 1e6:.1f} Mcells/s)")
+    record("6b_heatmap_hover_2000", dt,
+           mcells_per_s=round(V2 * V2 / 2 / dt / 1e6, 1))
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--configs", default="0,1,2,3,4,5",
+        "--configs", default="0,1,2,3,4,5,6",
         help="comma list of config numbers to run",
     )
+    parser.add_argument("--out", default=None,
+                        help="write the JSON artifact here")
     args = parser.parse_args()
+    import jax
+
+    meta = {"backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()]}
+    print(f"bench_suite backend={meta['backend']}")
     table = {"0": config0, "1": config1, "2": config2, "3": config3,
-             "4": config4, "5": config5}
+             "4": config4, "5": config5, "6": config6}
     for c in args.configs.split(","):
         table[c.strip()]()
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump({"meta": meta, "results": RESULTS}, fh, indent=1)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
