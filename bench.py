@@ -42,7 +42,12 @@ import numpy as np
 
 N_HAP = 5008
 N_SETS = 4
-N_LO, N_HI = 4, 12
+# wide sweep spread: the per-sweep time comes from (T_hi - T_lo) /
+# (N_HI - N_LO), and with only 8 sweeps of spread the min-of-trials
+# difference under-resolves (~30% error observed through the relay);
+# 16 sweeps of spread keeps the noise below the plausibility gate
+N_LO, N_HI = 4, 20
+INT8_PEAK_TFLOPS = 394.0  # v5e: 197 bf16 TFLOP/s x2 for int8
 
 
 def _log(msg):
@@ -113,6 +118,11 @@ def _time_tpu_sweep(v: int, block: int):
             return acc
         return fn
 
+    # the kernel computes n_blocks full block_x_block tiles; a sweep can
+    # never beat this chip's int8 MXU speed of light on that FLOP count
+    sweep_flops = 2.0 * n_blocks * block * block * (hp8_pad * 8)
+    sol_s = sweep_flops / (INT8_PEAK_TFLOPS * 1e12)
+
     t0 = time.perf_counter()
     n_attempts = 3
     trials = 3
@@ -126,11 +136,13 @@ def _time_tpu_sweep(v: int, block: int):
         _log(f"compile+warm+measure: {time.perf_counter() - t0:.1f}s "
              f"[T{N_LO}={times[N_LO]*1e3:.1f}ms "
              f"T{N_HI}={times[N_HI]*1e3:.1f}ms]")
-        # a relay hiccup can return a nonsense pair (e.g. T_hi < T_lo);
-        # remeasure rather than report a negative rate
-        if dt > 0 and times[N_HI] > times[N_LO] * 1.05:
+        # a relay hiccup can return a nonsense pair (T_hi < T_lo, or a
+        # per-sweep time faster than the MXU's speed of light);
+        # remeasure rather than report an impossible rate
+        if (dt > 0.95 * sol_s and times[N_HI] > times[N_LO] * 1.05):
             return dt, n_blocks
-        _log("implausible timing pair; remeasuring")
+        _log(f"implausible timing (dt={dt*1e3:.2f}ms vs speed-of-light "
+             f"{sol_s*1e3:.2f}ms); remeasuring")
     # never report a rate derived from garbage timings: failing here makes
     # the parent fall back to the (honestly labelled) CPU measurement
     raise RuntimeError(
