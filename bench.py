@@ -47,7 +47,14 @@ N_SETS = 4
 # difference under-resolves (~30% error observed through the relay);
 # 16 sweeps of spread keeps the noise below the plausibility gate
 N_LO, N_HI = 4, 20
-INT8_PEAK_TFLOPS = 394.0  # v5e: 197 bf16 TFLOP/s x2 for int8
+
+
+def _int8_peak_tflops() -> float:
+    from ld_tools_tpu.utils.profiling import (
+        CHIP_PEAKS, INT8_MXU_SPEEDUP, detect_chip,
+    )
+
+    return CHIP_PEAKS[detect_chip()][0] * INT8_MXU_SPEEDUP
 
 
 def _log(msg):
@@ -121,7 +128,7 @@ def _time_tpu_sweep(v: int, block: int):
     # the kernel computes n_blocks full block_x_block tiles; a sweep can
     # never beat this chip's int8 MXU speed of light on that FLOP count
     sweep_flops = 2.0 * n_blocks * block * block * (hp8_pad * 8)
-    sol_s = sweep_flops / (INT8_PEAK_TFLOPS * 1e12)
+    sol_s = sweep_flops / (_int8_peak_tflops() * 1e12)
 
     t0 = time.perf_counter()
     n_attempts = 3
@@ -177,10 +184,13 @@ def _run(on_tpu_requested):
             + n_blocks * block * h_pad  # b-blocks, int8
             + n_blocks * block * block * 4  # r^2 output tiles
         )
+        from ld_tools_tpu.utils.profiling import detect_chip
+
         roof = Roofline(
             n_pairs=pairs,
             n_haplotypes_padded=h_pad,
             bytes_moved=bytes_moved,
+            chip=detect_chip(),
             int8_mxu=True,
         )
         _log(f"roofline: {roof.achieved(dt)}")

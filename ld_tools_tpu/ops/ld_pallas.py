@@ -134,7 +134,13 @@ def _int8_k_chunk(block_m: int, h_pad: int, heavy_epilogue: bool) -> int:
     <= 1024*2560 with the exact-order one; chunked dots accumulate in
     int32 (exact).
     """
+    import os
+
     budget = 1024 * (2560 if heavy_epilogue else 5120)
+    # compiler-version-sensitive: the budgets above are empirical against
+    # the current Mosaic; if a toolchain update changes the scoped-VMEM
+    # sizing, tune without a code change via this env var
+    budget = int(os.environ.get("TPU_LD_INT8_VMEM_BUDGET", budget))
     return max(128, min(h_pad, (budget // max(block_m, 1)) // 128 * 128))
 
 

@@ -34,6 +34,23 @@ DEFAULT_CHIP = "v5e"
 INT8_MXU_SPEEDUP = 2.0
 
 
+def detect_chip() -> str:
+    """CHIP_PEAKS key for the attached device (DEFAULT_CHIP fallback)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return DEFAULT_CHIP
+    if "v6" in kind:
+        return "v6e"
+    if "v5p" in kind:
+        return "v5p"
+    if "v5" in kind:  # "TPU v5 lite" == v5e
+        return "v5e"
+    if "v4" in kind:
+        return "v4"
+    return DEFAULT_CHIP
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     jax.profiler.start_trace(log_dir)
