@@ -29,7 +29,13 @@ def _counts_kernel(a, b):
     # the {0,1} counts stay exact integers — the same dot the flagship
     # Pallas kernels use (ops/ld_pallas.py), so tool runs see the full
     # int8 MXU rate, not half of it.
-    return haplotype_counts_int8(a, b), allele_counts(a), allele_counts(b)
+    c_ab = haplotype_counts_int8(a, b)
+    if a.shape[1] < 32768:
+        # counts are bounded by the haplotype axis; int16 halves the
+        # device->host transfer, which dominates tool wall time through
+        # an RPC-relayed device (1000G scale: counts <= 5,008)
+        c_ab = c_ab.astype(jnp.int16)
+    return c_ab, allele_counts(a), allele_counts(b)
 
 
 def _pad_rows(x: np.ndarray, rows: int) -> np.ndarray:

@@ -59,7 +59,7 @@ class ScanHits:
 def _tile_ld(
     g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
-    fetch=False,
+    fetch=(),
 ):
     """Measure/values + keep-mask for one tile sliced from HBM-resident G.
 
@@ -69,13 +69,14 @@ def _tile_ld(
 
     The threshold mask is computed on ``meas`` — the divide-free fast r^2
     (sel == 0) or exact-order D' (sel == 1).  The count pass
-    (``fetch=False``) produces ONLY meas (one output tile, light
-    epilogue — the configuration that hits the kernel-bench rate); the
-    fetch pass adds exact-order r2/dp and the raw int32 counts ``cab``
-    so the host can finish hits bit-exactly without ever touching the
-    genotype matrix again.  Both passes share the same traced arithmetic
-    (`ld_pallas._fast_r2` / `_ld_epilogue`), so their masks agree
-    bit-for-bit and pass 1's counts always size pass 2's buffers right.
+    (``fetch=()``) produces ONLY meas (one output tile, light epilogue —
+    the configuration that hits the kernel-bench rate); the fetch pass
+    requests extra output tiles by name: ``("cab",)`` for exact scans
+    (raw int32 counts, from which the host finishes hits bit-exactly —
+    r2/dp never cross the wire) or ``("r2", "dp")`` for fast scans.
+    Both passes share the same traced arithmetic (`ld_pallas._fast_r2` /
+    `_ld_epilogue`), so their masks agree bit-for-bit and pass 1's counts
+    always size pass 2's buffers right.
     """
     g_rows = jax.lax.dynamic_slice(
         g_dev, (row0, 0), (band, g_dev.shape[1])
@@ -87,7 +88,7 @@ def _tile_ld(
     c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
     ipq_rows = jax.lax.dynamic_slice(ipq_dev, (row0, 0), (band, 1))
     ipq_cols = jax.lax.dynamic_slice(ipq_dev, (col0, 0), (chunk, 1))
-    outs = ("meas", "r2", "dp", "cab") if fetch else ("meas",)
+    outs = ("meas",) + tuple(fetch) if fetch else ("meas",)
 
     if use_pallas:
         vals = ld_band_sweep(
@@ -122,16 +123,22 @@ def _tile_ld(
         n = n_hap.astype(jnp.float32)
         inv_n = 1.0 / n
         r2x = dpx = None
-        if sel == 1 or fetch:
+        if sel == 1 or "r2" in outs or "dp" in outs:
             r2x, dpx = _ld_epilogue(c, c1_rows, c1_cols.T, inv_n, n)
         if sel == 0:
             meas = _fast_r2(c, c1_rows, c1_cols.T, ipq_rows, ipq_cols.T,
                             inv_n)
         else:
             meas = dpx
-        vals = {"meas": meas}
-        if fetch:
-            vals.update(r2=r2x, dp=dpx, cab=c_ab)
+        vals = {"meas": meas, "r2": r2x, "dp": dpx, "cab": c_ab}
+        vals = {k: vals[k] for k in outs}
+
+    if "cab" in vals:
+        h_bound = g_dev.shape[1] * (8 if packed else 1)
+        if h_bound < 32768:
+            # counts bounded by the haplotype axis: int16 halves the
+            # per-hit wire cost of the exact-mode fetch
+            vals["cab"] = vals["cab"].astype(jnp.int16)
 
     rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
     cols_g = col0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 1)
@@ -165,7 +172,7 @@ def _count_tiles_body(
             g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
-            packed=packed, fetch=False,
+            packed=packed, fetch=(),
         )
         keep &= is_valid
         return None, jnp.sum(keep.astype(jnp.int32))
@@ -177,7 +184,7 @@ def _count_tiles_body(
 def _fetch_tiles_body(
     g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
     *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
-    packed=False,
+    packed=False, want=("cab",),
 ):
     """Pass 2 body: compacted hits for a BATCH of tiles that contain some.
 
@@ -185,9 +192,10 @@ def _fetch_tiles_body(
     dispatch per tile: through an RPC-relayed device both the ~0.5 s
     per-call latency and the fixed-size result buffers (cap entries per
     tile, with cap sized from pass 1's counts) would otherwise dominate
-    the whole scan.  Each hit returns its exact int32 co-occurrence count
-    alongside the f32 values, so the host's bit-exact refinish needs no
-    genotype access at all.
+    the whole scan.  ``want`` picks what each hit carries home:
+    ``("cab",)`` — the exact int32 count, all an exact scan needs (the
+    host refinish derives r2/dp/sentinels from it, so the f32 value tiles
+    never transfer) — or ``("r2", "dp")`` for fast scans.
     """
 
     def step(_, tile):
@@ -196,17 +204,13 @@ def _fetch_tiles_body(
             g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
-            fetch=True,
+            fetch=tuple(want),
         )
         ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
         safe_i = jnp.maximum(ii, 0)
         safe_j = jnp.maximum(jj, 0)
-        return None, (
-            ii,
-            jj,
-            vals["r2"][safe_i, safe_j],
-            vals["dp"][safe_i, safe_j],
-            vals["cab"][safe_i, safe_j],
+        return None, (ii, jj) + tuple(
+            vals[name][safe_i, safe_j] for name in want
         )
 
     _, out = jax.lax.scan(step, None, (r0s, c0s))
@@ -225,7 +229,7 @@ _fetch_tiles_batch = functools.partial(
     jax.jit,
     static_argnames=(
         "band", "chunk", "cap", "use_pallas", "interpret", "sel",
-        "use_dist", "packed",
+        "use_dist", "packed", "want",
     ),
 )(_fetch_tiles_body)
 
@@ -256,10 +260,11 @@ def _sharded_tile_fns(mesh, **static):
     )
 
     @functools.lru_cache(maxsize=None)
-    def fetch(cap):
+    def fetch(cap, want):
         return jax.jit(
             jax.shard_map(
-                functools.partial(_fetch_tiles_body, cap=cap, **static),
+                functools.partial(_fetch_tiles_body, cap=cap, want=want,
+                                  **static),
                 mesh=mesh,
                 in_specs=(rep, rep, rep, rep, tile, tile, rep, rep, rep),
                 out_specs=tile,
@@ -432,6 +437,11 @@ def stream_threshold_scan(
         log.info("distance pruning skipped %d/%d tiles on the host",
                  n_skipped, n_skipped + len(tiles))
 
+    # exact scans carry ONLY the integer counts home (the host refinish
+    # derives r2/dp/sentinels from them), fast scans only the f32 values:
+    # each hit costs 12/16 bytes on the wire instead of 20
+    want = ("cab",) if exact else ("r2", "dp")
+
     # Optional block-level resume (SURVEY.md §5 checkpoint row): each
     # completed batch persists its hits keyed by a config fingerprint, so
     # a killed multi-hour scan restarts where it stopped.
@@ -441,10 +451,10 @@ def stream_threshold_scan(
         import os
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        # "counts-v2": batches persist the exact int32 counts alongside
-        # the f32 values (older checkpoints without them are not resumable)
+        # "v3": batches persist exactly the arrays this mode needs (older
+        # layouts are not resumable)
         fp = hashlib.sha256(
-            repr(("counts-v2", v, h, measure, thres, max_dist, band, chunk,
+            repr(("v3", want, v, h, measure, thres, max_dist, band, chunk,
                   int(np.asarray(pos)[-1]) if v else 0)).encode()
         ).hexdigest()[:16]
 
@@ -453,7 +463,7 @@ def stream_threshold_scan(
                 checkpoint_dir, f"scan_{fp}_batch{batch_idx}.npz"
             )
 
-    hits_i, hits_j, hits_r2, hits_dp, hits_cab = [], [], [], [], []
+    hits = {name: [] for name in ("i", "j") + want}
     batch = max_tiles_per_call
     for s in range(0, len(tiles), batch):
         if ckpt is not None:
@@ -463,11 +473,8 @@ def stream_threshold_scan(
             if os.path.exists(path):
                 saved = np.load(path)
                 if saved["i"].size:
-                    hits_i.append(saved["i"])
-                    hits_j.append(saved["j"])
-                    hits_r2.append(saved["r2"])
-                    hits_dp.append(saved["dp"])
-                    hits_cab.append(saved["cab"])
+                    for name in hits:
+                        hits[name].append(saved[name])
                 log.info("resumed batch %d from %s", s // batch, path)
                 continue
         part = tiles[s : s + batch]
@@ -503,7 +510,7 @@ def stream_threshold_scan(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
                 **common
             ))
-        bi_l, bj_l, br2_l, bdp_l, bcab_l = [], [], [], [], []
+        batch_hits = {name: [] for name in hits}
         hit_idx = np.nonzero(counts > 0)[0]
         too_big = hit_idx[counts[hit_idx] > cap_per_tile]
         if too_big.size:
@@ -512,16 +519,18 @@ def stream_threshold_scan(
                 f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
                 f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
-        # One power-of-two cap for the whole batch, sized from pass 1's
-        # max per-tile count.  Remote compilation dominates cold scans
-        # (~45 s per program through the RPC relay), so ONE fetch program
-        # per batch beats per-bucket-tight buffers: the extra transfer for
-        # low-count tiles is tens of MB, the saved compiles are minutes.
+        # Power-of-two cap BUCKETS sized from pass 1's per-tile counts:
+        # each tile's result buffer is within 2x of its true hit count,
+        # so the device->host transfer scales with hits, not with
+        # n_tiles x batch-max (one dense outlier tile would otherwise
+        # inflate every buffer in the batch — through an RPC relay that
+        # transfer dwarfs compute).  At most ~log2(cap_per_tile) distinct
+        # fetch programs ever compile, and the relay caches them
+        # persistently across batches and runs.
         buckets = {}
-        if hit_idx.size:
-            cap = max(1024,
-                      1 << (int(counts[hit_idx].max()) - 1).bit_length())
-            buckets[cap] = [int(t) for t in hit_idx]
+        for t in hit_idx:
+            cap = max(1024, 1 << (int(counts[t]) - 1).bit_length())
+            buckets.setdefault(cap, []).append(int(t))
         for cap, idxs in sorted(buckets.items()):
             # pad the tile list to n_shards x power of two as well (scan
             # length is a static shape — unpadded it would recompile per
@@ -534,75 +543,63 @@ def stream_threshold_scan(
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
             c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
             if n_shards > 1:
-                ii_b, jj_b, r2_b, dp_b, cab_b = fetch_factory(cap)(
+                out = fetch_factory(cap, want)(
                     g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f, *scalars
                 )
             else:
-                ii_b, jj_b, r2_b, dp_b, cab_b = _fetch_tiles_batch(
+                out = _fetch_tiles_batch(
                     g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
-                    *scalars, cap=cap, **common
+                    *scalars, cap=cap, want=want, **common
                 )
-            ii_b = np.asarray(ii_b)
-            jj_b = np.asarray(jj_b)
-            r2_b = np.asarray(r2_b)
-            dp_b = np.asarray(dp_b)
-            cab_b = np.asarray(cab_b)
+            ii_b, jj_b, *val_bufs = (np.asarray(a) for a in out)
             for k, t_idx in enumerate(idxs):
                 count = int(counts[t_idx])
                 r0, c0 = part[t_idx]
                 ii = ii_b[k, :count].astype(np.int64) + r0
                 jj = jj_b[k, :count].astype(np.int64) + c0
                 ok = (ii < v) & (jj < v)  # drop padding-row pairs
-                bi_l.append(ii[ok])
-                bj_l.append(jj[ok])
-                br2_l.append(r2_b[k, :count][ok])
-                bdp_l.append(dp_b[k, :count][ok])
-                bcab_l.append(cab_b[k, :count][ok])
-        if bi_l:
-            bi = np.concatenate(bi_l)
-            bj = np.concatenate(bj_l)
-            br2 = np.concatenate(br2_l)
-            bdp = np.concatenate(bdp_l)
-            bcab = np.concatenate(bcab_l)
-            total = len(bi)
+                batch_hits["i"].append(ii[ok])
+                batch_hits["j"].append(jj[ok])
+                for name, buf in zip(want, val_bufs):
+                    batch_hits[name].append(buf[k, :count][ok])
+        if batch_hits["i"]:
+            cat = {name: np.concatenate(vals)
+                   for name, vals in batch_hits.items()}
         else:
-            bi = bj = np.zeros((0,), dtype=np.int64)
-            br2 = bdp = np.zeros((0,), dtype=np.float32)
-            bcab = np.zeros((0,), dtype=np.int32)
-            total = 0
+            cat = {"i": np.zeros((0,), dtype=np.int64),
+                   "j": np.zeros((0,), dtype=np.int64)}
+            for name in want:
+                cat[name] = np.zeros(
+                    (0,),
+                    dtype=np.int32 if name == "cab" else np.float32,
+                )
         if ckpt is not None:
             import os
 
             path = ckpt(s // batch)
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
-                np.savez(fh, i=bi, j=bj, r2=br2, dp=bdp, cab=bcab)
+                np.savez(fh, **cat)
             os.replace(tmp, path)
-        if total == 0:
+        if len(cat["i"]) == 0:
             continue
-        hits_i.append(bi)
-        hits_j.append(bj)
-        hits_r2.append(br2)
-        hits_dp.append(bdp)
-        hits_cab.append(bcab)
+        for name in hits:
+            hits[name].append(cat[name])
 
-    if not hits_i:
+    if not hits["i"]:
         z = np.zeros((0,))
         zi = z.astype(np.int64)
         return ScanHits(i=zi, j=zi, r_square=z, d_prime=z,
                         r_square_is_int_zero=z.astype(bool),
                         d_prime_is_int_zero=z.astype(bool), exact=exact)
-    i = np.concatenate(hits_i)
-    j = np.concatenate(hits_j)
-    r2 = np.concatenate(hits_r2)
-    dp = np.concatenate(hits_dp)
-    cab = np.concatenate(hits_cab)
-    order = np.lexsort((j, i))
-    i, j, r2, dp, cab = i[order], j[order], r2[order], dp[order], cab[order]
+    arrs = {name: np.concatenate(vals) for name, vals in hits.items()}
+    order = np.lexsort((arrs["j"], arrs["i"]))
+    arrs = {name: a[order] for name, a in arrs.items()}
     if not exact:
-        return ScanHits(i=i, j=j, r_square=r2, d_prime=dp, exact=False)
-    return _exact_refilter_counts(cab, c1_full, n_haplotypes, i, j, measure,
-                                  thres)
+        return ScanHits(i=arrs["i"], j=arrs["j"], r_square=arrs["r2"],
+                        d_prime=arrs["dp"], exact=False)
+    return _exact_refilter_counts(arrs["cab"], c1_full, n_haplotypes,
+                                  arrs["i"], arrs["j"], measure, thres)
 
 
 def _exact_refilter_counts(

@@ -114,15 +114,25 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
     pos = cd.pos
     r2_s = format_rounded(hits.r_square, hits.r_square_is_int_zero)
     dp_s = format_rounded(hits.d_prime, hits.d_prime_is_int_zero)
+    # column-wise assembly (the .tolist() conversions and the joins run
+    # at C speed): chr-scale scans emit millions of hit lines, where a
+    # per-line f-string loop would dominate the whole tool run
+    import numpy as np
+
+    ia = hits.i.astype(np.int64)
+    jb = hits.j.astype(np.int64)
+    pa = pos[ia].astype(np.int64)
+    pb = pos[jb].astype(np.int64)
+    rows = zip(
+        pa.tolist(), np.asarray(rsid)[ia].tolist(),
+        pb.tolist(), np.asarray(rsid)[jb].tolist(),
+        (pa - pb).tolist(), r2_s.tolist(), dp_s.tolist(),
+    )
     with open(path, "w") as fh:
         fh.write(ucsc_header_line(meta_keys, meta_vals) + "\n")
         fh.write("#hg38_pos_1\trsID_1\thg38_pos_2\trsID_2\tdist\tr2\tD'\n")
-        for k in range(len(hits.i)):
-            a, b = int(hits.i[k]), int(hits.j[k])
-            fh.write(
-                f"{int(pos[a])}\t{rsid[a]}\t{int(pos[b])}\t{rsid[b]}\t"
-                f"{int(pos[a]) - int(pos[b])}\t{r2_s[k]}\t{dp_s[k]}\n"
-            )
+        for pa_k, ra, pb_k, rb, d, r2k, dpk in rows:
+            fh.write(f"{pa_k}\t{ra}\t{pb_k}\t{rb}\t{d}\t{r2k}\t{dpk}\n")
     n_pairs = cd.n_variants * (cd.n_variants - 1) / 2
     log.info(
         "chr%s: %d/%d pairs above threshold (%.1fs, %.2f Gpairs/s) -> %s",

@@ -159,10 +159,14 @@ def config4():
     pos = np.sort(rng.choice(46_000_000, size=V, replace=False))
     pairs = V * (V - 1) / 2
     use_pallas = jax.default_backend() not in ("cpu",)  # the tool's auto
+    # feed the BITPACKED store bytes like the real ld_scan tool does: the
+    # host->device transfer is 64 MB instead of 0.5 GB (device inflates
+    # to dense int8 once under resident="auto")
+    gp = np.packbits(G.astype(np.uint8), axis=1)
     t0 = time.time()
     hits = stream_threshold_scan(
-        G, pos=pos.astype(np.int64), measure="r_square", thres=0.8,
-        use_pallas=use_pallas, exact=False,
+        G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
+        measure="r_square", thres=0.8, use_pallas=use_pallas, exact=False,
     )
     dt = time.time() - t0
     gpps = pairs / dt / 1e9
@@ -173,11 +177,11 @@ def config4():
     record("4_chr21_scan_100k", dt, gpairs_per_s=round(gpps, 2),
            hits=int(len(hits.i)), use_pallas=use_pallas)
     # exact=True repeats the scan with the bit-exact hit refinish — the
-    # tool-default configuration (counts come back from the fetch pass)
+    # tool-default configuration (only integer counts cross the wire)
     t0 = time.time()
     hits = stream_threshold_scan(
-        G, pos=pos.astype(np.int64), measure="r_square", thres=0.8,
-        use_pallas=use_pallas, exact=True,
+        G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
+        measure="r_square", thres=0.8, use_pallas=use_pallas, exact=True,
     )
     dt = time.time() - t0
     print(

@@ -134,3 +134,22 @@ def test_merge_to_folder_invocations(tmp_path):
         assert r.returncode == 0, r.stderr
     assert (tmp_path / "flat1" / "x.tsv").read_text() == "data\n"
     assert (tmp_path / "flat2" / "x.tsv").read_text() == "data\n"
+
+
+def test_heatmap_palettes_cover_reference_list():
+    """All 45 palette names the reference README documents must resolve
+    to distinct colorscales (reference README.md:97)."""
+    from ld_tools_tpu.io.heatmap import PALETTES, colorscale_stops
+
+    names = (
+        "algae amp blues blugrn bluyl brwnyl bugn bupu burg burgyl "
+        "darkmint deep dense emrld gnbu greens greys magenta matter mint "
+        "oranges orrd oryel peach pinkyl pubu pubugn purd purp purples "
+        "purpor rdpu redor reds speed sunset sunsetdark teal tealgrn "
+        "tempo turbid ylgn ylgnbu ylorbr ylorrd"
+    ).split()
+    assert len(names) == 45
+    assert set(PALETTES) == set(names)
+    for n in names:
+        stops = colorscale_stops(n)
+        assert len(stops) >= 2
