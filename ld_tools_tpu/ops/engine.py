@@ -54,6 +54,21 @@ def _pad_cols(x: np.ndarray, cols: int) -> np.ndarray:
     return out
 
 
+# Below this many MACs the counts run on the HOST (f32 BLAS — exact for
+# {0,1} sums under 2^24): a single ld_lite pair or a handful of ld_area
+# query rows costs microseconds in numpy but would pay device dispatch
+# latency (and, through a remote-compile relay, a minutes-scale one-time
+# program compile) on the accelerator.
+_HOST_COUNTS_MACS = 1 << 26
+
+
+def _pair_counts_host(a: np.ndarray, b: np.ndarray):
+    af = np.ascontiguousarray(a, dtype=np.float32)
+    bf = np.ascontiguousarray(b, dtype=np.float32)
+    c_ab = (af @ bf.T).astype(np.int32)
+    return c_ab, af.sum(axis=1), bf.sum(axis=1)
+
+
 def pair_counts(a: np.ndarray, b: np.ndarray, row_pad: int = 128, hap_pad: int = 512):
     """Exact co-occurrence + allele counts for two {0,1} blocks.
 
@@ -61,10 +76,15 @@ def pair_counts(a: np.ndarray, b: np.ndarray, row_pad: int = 128, hap_pad: int =
     to ``hap_pad`` (zero padding is count-neutral; the true haplotype count
     travels separately) so repeated tool calls with nearby shapes reuse one
     compiled executable.  Returns numpy (c_ab, c1, c2) trimmed to true shape.
+
+    Tiny jobs (under ``_HOST_COUNTS_MACS`` multiply-accumulates) skip the
+    device entirely and run in host BLAS — exact either way.
     """
     n_hap = a.shape[1]
     assert b.shape[1] == n_hap
     va, vb = a.shape[0], b.shape[0]
+    if va * vb * max(n_hap, 1) < _HOST_COUNTS_MACS:
+        return _pair_counts_host(a, b)
     h = _round_up(max(n_hap, 1), hap_pad)
     ap = _pad_cols(_pad_rows(a, _round_up(max(va, 1), row_pad)), h)
     bp = _pad_cols(_pad_rows(b, _round_up(max(vb, 1), row_pad)), h)

@@ -93,11 +93,12 @@ def config1():
         rs_id_1=rsids[10], rs_id_2=rsids[60], intgen_dir_path=d,
         skip_intgen_data_ver=True, gend_names="both", pop_names="all",
     )
-    t0 = time.time()
-    lite.run(args)
-    dt = time.time() - t0
-    print(f"config1 ld_lite pair (100x2504 slab): {dt:.2f}s")
-    record("1_ld_lite_pair", dt)
+    for label in ("1_ld_lite_pair", "1b_ld_lite_pair_warm"):
+        t0 = time.time()
+        lite.run(args)
+        dt = time.time() - t0
+        print(f"config{label[:2].rstrip('_')} ld_lite pair: {dt:.2f}s")
+        record(label, dt)
 
 
 def config2():
@@ -163,33 +164,27 @@ def config4():
     # host->device transfer is 64 MB instead of 0.5 GB (device inflates
     # to dense int8 once under resident="auto")
     gp = np.packbits(G.astype(np.uint8), axis=1)
-    t0 = time.time()
-    hits = stream_threshold_scan(
-        G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
-        measure="r_square", thres=0.8, use_pallas=use_pallas, exact=False,
-    )
-    dt = time.time() - t0
-    gpps = pairs / dt / 1e9
-    print(
-        f"config4 chr21-scale 100k sweep: {dt:.1f}s, "
-        f"{gpps:.1f} Gpairs/s, {len(hits.i)} hits"
-    )
-    record("4_chr21_scan_100k", dt, gpairs_per_s=round(gpps, 2),
-           hits=int(len(hits.i)), use_pallas=use_pallas)
-    # exact=True repeats the scan with the bit-exact hit refinish — the
-    # tool-default configuration (only integer counts cross the wire)
-    t0 = time.time()
-    hits = stream_threshold_scan(
-        G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
-        measure="r_square", thres=0.8, use_pallas=use_pallas, exact=True,
-    )
-    dt = time.time() - t0
-    print(
-        f"config4b chr21-scale exact refinish: {dt:.1f}s, "
-        f"{pairs / dt / 1e9:.1f} Gpairs/s, {len(hits.i)} exact hits"
-    )
-    record("4b_chr21_scan_100k_exact", dt,
-           gpairs_per_s=round(pairs / dt / 1e9, 2), hits=int(len(hits.i)))
+    # two iterations per mode: the first may pay one-time remote program
+    # compiles (persistently cached afterwards); the warm number is the
+    # steady-state tool rate
+    for tag, exact in (("4_chr21_scan_100k", False),
+                       ("4b_chr21_scan_100k_exact", True)):
+        for warm in (False, True):
+            t0 = time.time()
+            hits = stream_threshold_scan(
+                G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
+                measure="r_square", thres=0.8, use_pallas=use_pallas,
+                exact=exact,
+            )
+            dt = time.time() - t0
+            gpps = pairs / dt / 1e9
+            label = tag + ("_warm" if warm else "")
+            print(
+                f"config{label}: {dt:.1f}s, {gpps:.1f} Gpairs/s, "
+                f"{len(hits.i)} hits"
+            )
+            record(label, dt, gpairs_per_s=round(gpps, 2),
+                   hits=int(len(hits.i)), use_pallas=use_pallas)
 
 
 def config5():
@@ -252,20 +247,20 @@ def config6():
     TriangleRunner._write_table_streamed(
         self, G[:256], "0", rs[:256], poss[:256], "warm", out_dir
     )
-    t_dev = time.time()
-    TriangleRunner._write_table_streamed(
-        self, G, "21", rs, poss, "bench10k", out_dir
-    )
-    dt = time.time() - t_dev
-    size_mb = os.path.getsize(
-        os.path.join(out_dir, "bench10k_chr21_r.tsv")) / 1e6
-    print(
-        f"config6 ld_triangle 10k-variant table: {dt:.1f}s "
-        f"({V * V / dt / 1e6:.0f} Mcells/s, {size_mb:.0f} MB TSV)"
-    )
-    record("6_triangle_10k_table", dt,
-           mcells_per_s=round(V * V / dt / 1e6, 1),
-           tsv_mb=round(size_mb, 1))
+    for label in ("6_triangle_10k_table", "6_triangle_10k_table_warm"):
+        t_dev = time.time()
+        TriangleRunner._write_table_streamed(
+            self, G, "21", rs, poss, "bench10k", out_dir
+        )
+        dt = time.time() - t_dev
+        size_mb = os.path.getsize(
+            os.path.join(out_dir, "bench10k_chr21_r.tsv")) / 1e6
+        print(
+            f"config{label}: {dt:.1f}s "
+            f"({V * V / dt / 1e6:.0f} Mcells/s, {size_mb:.0f} MB TSV)"
+        )
+        record(label, dt, mcells_per_s=round(V * V / dt / 1e6, 1),
+               tsv_mb=round(size_mb, 1))
 
     # 2,000-variant heatmap (HTML + full hovertext) — the presentation
     # path; the reference's practical cap is ~500 (README.md:74)
