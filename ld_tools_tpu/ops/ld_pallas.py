@@ -370,6 +370,30 @@ def _ld_triangle_call(
     return out if want_dprime else (out[0], None)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "v_pad", "h_pad", "block_m", "block_n", "interpret", "want_dprime",
+        "mxu_dtype", "epilogue",
+    ),
+)
+def _ld_triangle_dense_staged(
+    G, bi, bj, n_arr, *, v_pad, h_pad, block_m, block_n, interpret,
+    want_dprime, mxu_dtype, epilogue,
+):
+    """Pad + count + kernel in ONE compiled program: eager staging ops
+    would each pay a full dispatch round trip through an RPC-relayed
+    device (~0.5 s apiece — more than the whole sweep's compute)."""
+    g_pad = jnp.zeros((v_pad, h_pad), dtype=jnp.int8)
+    g_pad = jax.lax.dynamic_update_slice(g_pad, G.astype(jnp.int8), (0, 0))
+    c1 = jnp.sum(g_pad.astype(jnp.float32), axis=1, keepdims=True)
+    return _ld_triangle_call(
+        g_pad, c1, bi, bj, n_arr, block_m=block_m, block_n=block_n,
+        interpret=interpret, want_dprime=want_dprime, mxu_dtype=mxu_dtype,
+        epilogue=epilogue,
+    )
+
+
 def ld_triangle_matrix(
     G,
     n_haplotypes=None,
@@ -401,18 +425,16 @@ def ld_triangle_matrix(
     block_n = min(block_n, _round_up(v, 128))
     v_pad = _round_up(v, max(block_m, block_n))
     h_pad = _round_up(h, 128)
-    g_pad = jnp.zeros((v_pad, h_pad), dtype=jnp.int8)
-    g_pad = jax.lax.dynamic_update_slice(g_pad, G.astype(jnp.int8), (0, 0))
-    c1 = jnp.sum(g_pad.astype(jnp.float32), axis=1, keepdims=True)
     nb = v_pad // block_m
     bi, bj = _triangle_coords(nb)
     n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
-    r2, dp = _ld_triangle_call(
-        g_pad,
-        c1,
+    r2, dp = _ld_triangle_dense_staged(
+        G,
         jnp.asarray(bi),
         jnp.asarray(bj),
         n_arr,
+        v_pad=v_pad,
+        h_pad=h_pad,
         block_m=block_m,
         block_n=block_n,
         interpret=interpret,
@@ -472,6 +494,39 @@ def ld_triangle_matrix_packed(
     block_n = min(block_n, _round_up(v, 128))
     v_pad = _round_up(v, max(block_m, block_n))
     hp8_pad = _round_up(hp8, 16 if kernel == "dense" else 128)
+    nb = v_pad // block_m
+    bi, bj = _triangle_coords(nb)
+    n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
+    r2, dp = _ld_triangle_packed_staged(
+        gp,
+        jnp.asarray(bi),
+        jnp.asarray(bj),
+        n_arr,
+        v_pad=v_pad,
+        hp8_pad=hp8_pad,
+        kernel=kernel,
+        block_m=block_m,
+        block_n=block_n,
+        interpret=interpret,
+        want_dprime=want_dprime,
+        epilogue=epilogue,
+    )
+    return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "v_pad", "hp8_pad", "kernel", "block_m", "block_n", "interpret",
+        "want_dprime", "epilogue",
+    ),
+)
+def _ld_triangle_packed_staged(
+    gp, bi, bj, n_arr, *, v_pad, hp8_pad, kernel, block_m, block_n,
+    interpret, want_dprime, epilogue,
+):
+    """Pad + popcount + (device unpack) + kernel in ONE compiled program
+    (see _ld_triangle_dense_staged for why)."""
     gp_pad = jnp.zeros((v_pad, hp8_pad), dtype=jnp.uint8)
     gp_pad = jax.lax.dynamic_update_slice(gp_pad, gp, (0, 0))
     c1 = jnp.sum(
@@ -479,20 +534,17 @@ def ld_triangle_matrix_packed(
         axis=1,
         keepdims=True,
     )
-    nb = v_pad // block_m
-    bi, bj = _triangle_coords(nb)
-    n_arr = jnp.asarray([n_haplotypes], dtype=jnp.int32)
     if kernel == "dense":
         g_pad = unpack_rows_device(gp_pad)
         mxu_dtype = jnp.int8
     else:
         g_pad = gp_pad
         mxu_dtype = "packed"
-    r2, dp = _ld_triangle_call(
+    return _ld_triangle_call(
         g_pad,
         c1,
-        jnp.asarray(bi),
-        jnp.asarray(bj),
+        bi,
+        bj,
         n_arr,
         block_m=block_m,
         block_n=block_n,
@@ -501,7 +553,6 @@ def ld_triangle_matrix_packed(
         mxu_dtype=mxu_dtype,
         epilogue=epilogue,
     )
-    return r2[:v, :v], (dp[:v, :v] if dp is not None else None)
 
 
 def pack_rows(G) -> np.ndarray:

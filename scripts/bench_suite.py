@@ -116,11 +116,12 @@ def config2():
         color_pal="greens", font_size=None, square_shape=False,
         dont_disp_footer=False, max_proc_quan=4,
     )
-    t0 = time.time()
-    triangle.run(args)
-    dt = time.time() - t0
-    print(f"config2 ld_triangle 500 vars EUR: {dt:.2f}s")
-    record("2_ld_triangle_500_eur", dt)
+    for label in ("2_ld_triangle_500_eur", "2b_ld_triangle_500_eur_warm"):
+        t0 = time.time()
+        triangle.run(args)
+        dt = time.time() - t0
+        print(f"config{label}: {dt:.2f}s")
+        record(label, dt)
 
 
 def config3():
@@ -188,18 +189,31 @@ def config4():
 
 
 def config5():
-    from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix
+    from ld_tools_tpu.ops.ld_pallas import ld_triangle_matrix_packed
     from ld_tools_tpu.parallel.batch import chromosomes_for_this_process
 
     rng = np.random.default_rng(5)
     chroms = [str(c) for c in range(1, 9)]
     mine = chromosomes_for_this_process(chroms)
+    V, H = 8192, 5008
+    # per-chromosome PACKED store bytes (the tool's wire format; 5 MB
+    # instead of 41 MB per chromosome), distinct data per chromosome
+    base = (rng.random((V, H)) < 0.3).astype(np.uint8)
+    packed_by_chrom = []
+    for k in range(len(mine)):
+        packed_by_chrom.append(
+            np.packbits(np.roll(base, k * 17, axis=0), axis=1)
+        )
+    # warm the kernel program once outside the timed batch
+    ld_triangle_matrix_packed(
+        packed_by_chrom[0], H, want_dprime=False, epilogue="fast",
+    )[0].block_until_ready()
     t0 = time.time()
     total_pairs = 0
-    for _ in mine:
-        V, H = 8192, 5008
-        G = (rng.random((V, H)) < 0.3).astype(np.int8)
-        r2, _ = ld_triangle_matrix(G, H, want_dprime=False)
+    for gp in packed_by_chrom:
+        r2, _ = ld_triangle_matrix_packed(
+            gp, H, want_dprime=False, epilogue="fast",
+        )
         r2.block_until_ready()
         total_pairs += V * (V + 1) / 2
     dt = time.time() - t0
@@ -297,8 +311,17 @@ def main():
     args = parser.parse_args()
     import jax
 
-    meta = {"backend": jax.default_backend(),
-            "devices": [str(d) for d in jax.devices()]}
+    meta = {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "note": (
+            "device is RPC-relayed in this environment: ~0.5 s per "
+            "dispatch, ~10-20 MB/s host<->device, minutes-scale one-time "
+            "remote compiles (persistently cached; '_warm' rows are the "
+            "steady state). Kernel-level rates live in bench.py's metric; "
+            "on a direct-attached TPU the relay overheads collapse."
+        ),
+    }
     print(f"bench_suite backend={meta['backend']}")
     table = {"0": config0, "1": config1, "2": config2, "3": config3,
              "4": config4, "5": config5, "6": config6}
