@@ -54,6 +54,7 @@ class ScanHits:
     r_square_is_int_zero: np.ndarray = None
     d_prime_is_int_zero: np.ndarray = None
     exact: bool = False
+    stats: dict = None  # per-phase seconds (host_prep/upload/count/fetch/finish)
 
 
 def _tile_ld(
@@ -209,10 +210,15 @@ def _fetch_tiles_body(
         ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
         safe_i = jnp.maximum(ii, 0)
         safe_j = jnp.maximum(jj, 0)
-        return None, (ii, jj) + tuple(
+        # one int32 per hit instead of two: tile-local (ii, jj) packs as
+        # ii * chunk + jj (tiles are far below 2^31 cells) — fetch
+        # transfer is the dominant tool cost through a slow link
+        idx = ii * chunk + jj
+        return None, (idx,) + tuple(
             vals[name][safe_i, safe_j] for name in want
         )
 
+    assert band * chunk < 2**31
     _, out = jax.lax.scan(step, None, (r0s, c0s))
     return out  # each (n_tiles, cap)
 
@@ -332,7 +338,13 @@ def stream_threshold_scan(
     host.  Tile order — and therefore output order and checkpoint
     layout — is identical to the single-device scan.
     """
+    import time as _time
+
     from ld_tools_tpu.ingest import pack as _pack
+
+    stats = {"host_prep_s": 0.0, "upload_s": 0.0, "count_s": 0.0,
+             "fetch_s": 0.0, "finish_s": 0.0}
+    _t0 = _time.perf_counter()
 
     packed = G_packed is not None
     if packed:
@@ -380,6 +392,8 @@ def stream_threshold_scan(
     # (int32-safe sentinel: JAX defaults to 32-bit ints)
     pos_host = np.full((v_pad,), -(2**30), dtype=np.int32)
     pos_host[:v] = pos
+    stats["host_prep_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     n_shards = 1 if mesh is None else int(mesh.size)
     if n_shards > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -415,6 +429,8 @@ def stream_threshold_scan(
             )
             g_dev = unpack(g_dev)
             packed = False
+    g_dev.block_until_ready()
+    stats["upload_s"] = _time.perf_counter() - _t0
 
     # Build the tile coordinate list on the host (with whole-tile
     # distance pruning: positions are sorted, so the closest pair of a
@@ -500,6 +516,7 @@ def stream_threshold_scan(
             jnp.int32(n_haplotypes), jnp.float32(margin_thres),
             jnp.int32(max_dist if use_dist else 0),
         )
+        _t0 = _time.perf_counter()
         if n_shards > 1:
             count_fn, fetch_factory = _sharded_tile_fns(mesh, **common)
             counts = np.asarray(count_fn(
@@ -510,6 +527,8 @@ def stream_threshold_scan(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
                 **common
             ))
+        stats["count_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         batch_hits = {name: [] for name in hits}
         hit_idx = np.nonzero(counts > 0)[0]
         too_big = hit_idx[counts[hit_idx] > cap_per_tile]
@@ -551,17 +570,19 @@ def stream_threshold_scan(
                     g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
                     *scalars, cap=cap, want=want, **common
                 )
-            ii_b, jj_b, *val_bufs = (np.asarray(a) for a in out)
+            idx_b, *val_bufs = (np.asarray(a) for a in out)
             for k, t_idx in enumerate(idxs):
                 count = int(counts[t_idx])
                 r0, c0 = part[t_idx]
-                ii = ii_b[k, :count].astype(np.int64) + r0
-                jj = jj_b[k, :count].astype(np.int64) + c0
+                idx_k = idx_b[k, :count].astype(np.int64)
+                ii = idx_k // chunk + r0
+                jj = idx_k % chunk + c0
                 ok = (ii < v) & (jj < v)  # drop padding-row pairs
                 batch_hits["i"].append(ii[ok])
                 batch_hits["j"].append(jj[ok])
                 for name, buf in zip(want, val_bufs):
                     batch_hits[name].append(buf[k, :count][ok])
+        stats["fetch_s"] += _time.perf_counter() - _t0
         if batch_hits["i"]:
             cat = {name: np.concatenate(vals)
                    for name, vals in batch_hits.items()}
@@ -591,15 +612,27 @@ def stream_threshold_scan(
         zi = z.astype(np.int64)
         return ScanHits(i=zi, j=zi, r_square=z, d_prime=z,
                         r_square_is_int_zero=z.astype(bool),
-                        d_prime_is_int_zero=z.astype(bool), exact=exact)
+                        d_prime_is_int_zero=z.astype(bool), exact=exact,
+                        stats=stats)
+    _t0 = _time.perf_counter()
     arrs = {name: np.concatenate(vals) for name, vals in hits.items()}
     order = np.lexsort((arrs["j"], arrs["i"]))
     arrs = {name: a[order] for name, a in arrs.items()}
     if not exact:
-        return ScanHits(i=arrs["i"], j=arrs["j"], r_square=arrs["r2"],
-                        d_prime=arrs["dp"], exact=False)
-    return _exact_refilter_counts(arrs["cab"], c1_full, n_haplotypes,
-                                  arrs["i"], arrs["j"], measure, thres)
+        result = ScanHits(i=arrs["i"], j=arrs["j"], r_square=arrs["r2"],
+                          d_prime=arrs["dp"], exact=False)
+    else:
+        result = _exact_refilter_counts(
+            arrs["cab"], c1_full, n_haplotypes, arrs["i"], arrs["j"],
+            measure, thres,
+        )
+    stats["finish_s"] = _time.perf_counter() - _t0
+    result.stats = stats
+    log.info(
+        "scan phases: %s",
+        " ".join(f"{k}={s:.2f}" for k, s in stats.items()),
+    )
+    return result
 
 
 def _exact_refilter_counts(

@@ -180,12 +180,14 @@ def config4():
             dt = time.time() - t0
             gpps = pairs / dt / 1e9
             label = tag + ("_warm" if warm else "")
+            phases = {k: round(s, 2) for k, s in (hits.stats or {}).items()}
             print(
                 f"config{label}: {dt:.1f}s, {gpps:.1f} Gpairs/s, "
-                f"{len(hits.i)} hits"
+                f"{len(hits.i)} hits, phases={phases}"
             )
             record(label, dt, gpairs_per_s=round(gpps, 2),
-                   hits=int(len(hits.i)), use_pallas=use_pallas)
+                   hits=int(len(hits.i)), use_pallas=use_pallas,
+                   phases=phases)
 
 
 def config5():
