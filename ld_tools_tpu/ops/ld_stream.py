@@ -57,6 +57,44 @@ class ScanHits:
     stats: dict = None  # per-phase seconds (host_prep/upload/count/fetch/finish)
 
 
+def _compact_true_positions(mask, cap: int):
+    """Flat positions of the first ``cap`` True cells of ``mask`` in
+    row-major order; ``-1`` past the true count.
+
+    Semantically ``jnp.nonzero(mask.ravel(), size=cap, fill_value=-1)``,
+    but TPU-shaped: jnp.nonzero lowers through ``bincount`` — a scatter
+    with one update per CELL (33M serial scatter-adds for a 4096 x 8192
+    tile, ~300 ms), and cumsum+searchsorted still costs ~90 ms/tile in
+    per-slot binary-search gathers.  ``lax.top_k`` over the negated cell
+    index (True cells keep ``-index``, False cells sink to INT32_MIN+1)
+    returns the first ``cap`` True positions in ascending order as a
+    memory-bound partial reduction — measured ~0.1 ms for a 33M-cell
+    tile, i.e. at HBM speed-of-light.
+    """
+    flat = mask.reshape(-1)
+    assert flat.size < 2**31 - 1
+    sink = jnp.int32(-(2**31) + 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    score = jnp.where(flat, -idx, sink)
+    if flat.size < cap:  # tiny tiles: top_k needs k <= n
+        score = jnp.concatenate(
+            [score, jnp.full((cap - flat.size,), sink, jnp.int32)]
+        )
+    vals, _ = jax.lax.top_k(score, cap)
+    return jnp.where(vals == sink, jnp.int32(-1), -vals)
+
+
+def _compact_keep_2d(keep, cap: int):
+    """(ii, jj) row/col indices of the first ``cap`` True cells of the 2-D
+    ``keep`` mask, row-major; (-1, -1) fill past the true count."""
+    ncols = keep.shape[1]
+    pos = _compact_true_positions(keep, cap)
+    fill = pos < 0
+    ii = jnp.where(fill, -1, pos // ncols)
+    jj = jnp.where(fill, -1, pos % ncols)
+    return ii, jj
+
+
 def _tile_ld(
     g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
@@ -207,7 +245,7 @@ def _fetch_tiles_body(
             interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
             fetch=tuple(want),
         )
-        ii, jj = jnp.nonzero(keep, size=cap, fill_value=-1)
+        ii, jj = _compact_keep_2d(keep, cap)
         safe_i = jnp.maximum(ii, 0)
         safe_j = jnp.maximum(jj, 0)
         # one int32 per hit instead of two: tile-local (ii, jj) packs as
@@ -221,6 +259,57 @@ def _fetch_tiles_body(
     assert band * chunk < 2**31
     _, out = jax.lax.scan(step, None, (r0s, c0s))
     return out  # each (n_tiles, cap)
+
+
+def _fetch_compact_body(
+    g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev,
+    max_dist,
+    *, band, chunk, tile_cap, total_cap, use_pallas, interpret, sel,
+    use_dist, packed=False, want=("cab",),
+):
+    """Single-program pass 2: ALL hit tiles compacted into ONE buffer.
+
+    The bucketed fetch (`_fetch_tiles_body`) costs one dispatch per cap
+    bucket and pads every tile's result to its bucket cap — through an
+    RPC-relayed device (~0.5 s/dispatch, ~10-20 MB/s) those overheads
+    were the dominant tool cost of a chromosome scan.  Here one lax.scan
+    computes every hit tile, then a device-side compaction (top_k over
+    the stacked per-tile buffers, in tile order — see
+    `_compact_true_positions`) packs the real hits densely, so a scan's
+    whole fetch phase is ONE dispatch and
+    the transfer is total_cap (the power-of-two ceiling of pass 1's total
+    hit count — within 2x of the true wire minimum).
+
+    Hits come back flattened in tile order; the caller splits them at the
+    cumsum of pass 1's per-tile counts (both passes share `_tile_ld`'s
+    traced mask arithmetic, so the boundaries agree exactly).
+    """
+
+    def step(_, tile):
+        row0, col0, is_valid = tile
+        vals, keep, _, _ = _tile_ld(
+            g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
+            max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
+            interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
+            fetch=tuple(want),
+        )
+        keep &= is_valid
+        ii, jj = _compact_keep_2d(keep, tile_cap)
+        safe_i = jnp.maximum(ii, 0)
+        safe_j = jnp.maximum(jj, 0)
+        # fill entries get idx = -chunk - 1 < 0 — the compaction's mask
+        idx = ii * chunk + jj
+        return None, (idx,) + tuple(
+            vals[name][safe_i, safe_j] for name in want
+        )
+
+    assert band * chunk < 2**31
+    _, out = jax.lax.scan(step, None, (r0s, c0s, valid))
+    flat_idx = out[0].reshape(-1)
+    sel_pos = jnp.maximum(
+        _compact_true_positions(flat_idx >= 0, total_cap), 0
+    )
+    return tuple(o.reshape(-1)[sel_pos] for o in out)  # each (total_cap,)
 
 
 _count_tiles_batch = functools.partial(
@@ -238,6 +327,14 @@ _fetch_tiles_batch = functools.partial(
         "use_dist", "packed", "want",
     ),
 )(_fetch_tiles_body)
+
+_fetch_compact_batch = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "band", "chunk", "tile_cap", "total_cap", "use_pallas",
+        "interpret", "sel", "use_dist", "packed", "want",
+    ),
+)(_fetch_compact_body)
 
 
 @functools.lru_cache(maxsize=None)
@@ -538,50 +635,94 @@ def stream_threshold_scan(
                 f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
                 f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
-        # Power-of-two cap BUCKETS sized from pass 1's per-tile counts:
-        # each tile's result buffer is within 2x of its true hit count,
-        # so the device->host transfer scales with hits, not with
-        # n_tiles x batch-max (one dense outlier tile would otherwise
-        # inflate every buffer in the batch — through an RPC relay that
-        # transfer dwarfs compute).  At most ~log2(cap_per_tile) distinct
-        # fetch programs ever compile, and the relay caches them
-        # persistently across batches and runs.
-        buckets = {}
-        for t in hit_idx:
-            cap = max(1024, 1 << (int(counts[t]) - 1).bit_length())
-            buckets.setdefault(cap, []).append(int(t))
-        for cap, idxs in sorted(buckets.items()):
-            # pad the tile list to n_shards x power of two as well (scan
-            # length is a static shape — unpadded it would recompile per
-            # batch); dummy tiles' outputs are simply never read
-            n_fetch = n_shards
+        if n_shards == 1 and hit_idx.size:
+            # Single-device: ONE fetch dispatch for the whole batch.
+            # The device compacts every hit tile's survivors into one
+            # dense buffer (_fetch_compact_body), so dispatch count and
+            # wire bytes are both within 2x of the physical minimum —
+            # through an RPC-relayed device the bucketed path below
+            # would pay ~0.5 s per cap bucket plus padded buffers.
+            idxs = [int(t) for t in hit_idx]
+            max_cnt = int(counts[hit_idx].max())
+            total = int(counts[hit_idx].sum())
+            tile_cap = max(1024, 1 << (max_cnt - 1).bit_length())
+            total_cap = max(1024, 1 << (total - 1).bit_length())
+            n_fetch = 1
             while n_fetch < len(idxs):
                 n_fetch *= 2
             coords = [(part[t][0], part[t][1]) for t in idxs]
             coords += [(0, 0)] * (n_fetch - len(idxs))
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
             c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
-            if n_shards > 1:
-                out = fetch_factory(cap, want)(
-                    g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f, *scalars
-                )
-            else:
-                out = _fetch_tiles_batch(
-                    g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
-                    *scalars, cap=cap, want=want, **common
-                )
-            idx_b, *val_bufs = (np.asarray(a) for a in out)
+            valid_f = jnp.asarray(
+                [k < len(idxs) for k in range(n_fetch)], dtype=bool
+            )
+            out = _fetch_compact_batch(
+                g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f, valid_f,
+                *scalars, tile_cap=tile_cap, total_cap=total_cap,
+                want=want, **common
+            )
+            idx_flat, *val_flats = (np.asarray(a) for a in out)
+            # hits are flattened in tile order; pass 1's counts give the
+            # split boundaries (both passes share the same traced mask)
+            bounds = np.concatenate(
+                ([0], np.cumsum(counts[idxs].astype(np.int64)))
+            )
             for k, t_idx in enumerate(idxs):
-                count = int(counts[t_idx])
+                lo, hi = int(bounds[k]), int(bounds[k + 1])
                 r0, c0 = part[t_idx]
-                idx_k = idx_b[k, :count].astype(np.int64)
+                idx_k = idx_flat[lo:hi].astype(np.int64)
                 ii = idx_k // chunk + r0
                 jj = idx_k % chunk + c0
                 ok = (ii < v) & (jj < v)  # drop padding-row pairs
                 batch_hits["i"].append(ii[ok])
                 batch_hits["j"].append(jj[ok])
-                for name, buf in zip(want, val_bufs):
-                    batch_hits[name].append(buf[k, :count][ok])
+                for name, buf in zip(want, val_flats):
+                    batch_hits[name].append(buf[lo:hi][ok])
+        else:
+            # Sharded mesh: power-of-two cap BUCKETS sized from pass 1's
+            # per-tile counts keep each tile's result buffer within 2x of
+            # its true hit count (global compaction would need a cross-
+            # device collective; per-device the bucket scheme is enough).
+            # At most ~log2(cap_per_tile) distinct fetch programs ever
+            # compile, cached persistently across batches and runs.
+            buckets = {}
+            for t in hit_idx:
+                cap = max(1024, 1 << (int(counts[t]) - 1).bit_length())
+                buckets.setdefault(cap, []).append(int(t))
+            for cap, idxs in sorted(buckets.items()):
+                # pad the tile list to n_shards x power of two as well
+                # (scan length is a static shape — unpadded it would
+                # recompile per batch); dummy tiles' outputs are never read
+                n_fetch = n_shards
+                while n_fetch < len(idxs):
+                    n_fetch *= 2
+                coords = [(part[t][0], part[t][1]) for t in idxs]
+                coords += [(0, 0)] * (n_fetch - len(idxs))
+                r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
+                c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
+                if n_shards > 1:
+                    out = fetch_factory(cap, want)(
+                        g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
+                        *scalars
+                    )
+                else:
+                    out = _fetch_tiles_batch(
+                        g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
+                        *scalars, cap=cap, want=want, **common
+                    )
+                idx_b, *val_bufs = (np.asarray(a) for a in out)
+                for k, t_idx in enumerate(idxs):
+                    count = int(counts[t_idx])
+                    r0, c0 = part[t_idx]
+                    idx_k = idx_b[k, :count].astype(np.int64)
+                    ii = idx_k // chunk + r0
+                    jj = idx_k % chunk + c0
+                    ok = (ii < v) & (jj < v)  # drop padding-row pairs
+                    batch_hits["i"].append(ii[ok])
+                    batch_hits["j"].append(jj[ok])
+                    for name, buf in zip(want, val_bufs):
+                        batch_hits[name].append(buf[k, :count][ok])
         stats["fetch_s"] += _time.perf_counter() - _t0
         if batch_hits["i"]:
             cat = {name: np.concatenate(vals)

@@ -59,6 +59,27 @@ def test_scan_with_distance_window(rng):
     assert np.all(np.abs(pos[hits.i] - pos[hits.j]) <= max_dist)
 
 
+def test_scan_many_batches_compact_fetch(rng):
+    """Multiple count/fetch batches through the single-dispatch compacted
+    fetch (`_fetch_compact_body`): tiny tiles + max_tiles_per_call=4 force
+    several dispatches, each with padded dummy tiles and tile_cap !=
+    total_cap, so the flat-buffer split boundaries are exercised hard."""
+    G = random_haplotypes(rng, 72, 64, maf_low=0.05, maf_high=0.95)
+    pos = np.sort(rng.choice(10**6, size=72, replace=False)).astype(np.int64)
+    thres = 0.4
+    hits = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=thres,
+        band=16, chunk=16, max_tiles_per_call=4,
+        use_pallas=False, exact=True,
+    )
+    expected, vals = _expected_hits(G, pos, "r_square", thres)
+    assert set(zip(hits.i.tolist(), hits.j.tolist())) == expected
+    r2_s = format_rounded(hits.r_square, hits.r_square_is_int_zero)
+    for k in range(len(hits.i)):
+        res = vals[(int(hits.i[k]), int(hits.j[k]))]
+        assert r2_s[k] == str(res["r_square"])
+
+
 def test_scan_empty_result(rng):
     G = random_haplotypes(rng, 20, 64, maf_low=0.3, maf_high=0.7)
     hits = stream_threshold_scan(
