@@ -171,7 +171,10 @@ def _run(on_tpu_requested):
     if on_tpu:
         from ld_tools_tpu.utils.profiling import Roofline
 
-        block = int(os.environ.get("TPU_LD_BENCH_BLOCK", "512"))
+        # 640 measured fastest on v5e (34.8 Gpairs/s, ~90% of the int8
+        # MXU peak) across the 256/512/640/768/1024 sweep; 576/704 fail
+        # Mosaic compilation
+        block = int(os.environ.get("TPU_LD_BENCH_BLOCK", "640"))
         dt, n_blocks = _time_tpu_sweep(v, block)
         # HBM bytes: the stationary a-block is DMA'd once per row run
         # (v/block times — the pipeline skips reloading an unchanged
