@@ -73,6 +73,12 @@ def _compact_true_positions(mask, cap: int):
     """
     flat = mask.reshape(-1)
     assert flat.size < 2**31 - 1
+    if jax.default_backend() in ("cpu",):
+        # on CPU the serial scatter is cheap and top_k lowers to a full
+        # O(n log n) sort — nonzero is ~7x faster there (trace-time
+        # choice: backend is fixed for the life of the compiled program)
+        (pos,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+        return pos.astype(jnp.int32)
     sink = jnp.int32(-(2**31) + 1)
     idx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
     score = jnp.where(flat, -idx, sink)
