@@ -639,14 +639,16 @@ def _band_sweep_kernel(a_ref, b_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
         c_ab = _band_counts_packed(a_ref, b_ref, a_planes)
     else:
         out_refs = refs
-        heavy = sel == 1 or "r2" in outs or "dp" in outs
+        heavy = ("meas" in outs and sel == 1) or "r2" in outs or "dp" in outs
         c_ab = _band_counts_dense(a_ref, b_ref, heavy_epilogue=heavy)
     out = dict(zip(outs, out_refs))
     c = c_ab.astype(jnp.float32)
     n = n_ref[0, 0].astype(jnp.float32)
     inv_n = 1.0 / n
     r2x = dpx = None
-    if sel == 1 or "r2" in outs or "dp" in outs:
+    # a cab-only request (the streamed scan's count pass under the
+    # integer-exact threshold mask) skips the whole VPU epilogue
+    if ("meas" in outs and sel == 1) or "r2" in outs or "dp" in outs:
         r2x, dpx = _ld_epilogue(c, c1_ref[:], c2_ref[:].T, inv_n, n)
     if "meas" in out:
         if sel == 0:

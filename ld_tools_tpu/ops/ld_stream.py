@@ -101,27 +101,81 @@ def _compact_keep_2d(keep, cap: int):
     return ii, jj
 
 
+# n*c_ab and c1*c2 must stay int32-exact for the integer threshold mask:
+# n^2 < 2^31 -> n <= 46340 haplotypes (23k samples).  Larger cohorts fall
+# back to the f32 epilogue mask.
+_EXACT_MASK_MAX_HAP = 46340
+
+
+def _exact_keep_mask(cab_i32, c1_col, c2_row, n_hap, thres_dev, sel):
+    """Threshold mask straight from exact integer counts — no cancellation.
+
+    The old mask compared the f32 epilogue value (fast r^2 / exact-order
+    D') against ``thres - 5e-4``, assuming f32 noise stays far below the
+    margin.  That fails for near-monomorphic variants: ``d = p_ab -
+    p1*p2`` cancels catastrophically and D' divides by a denominator as
+    small as 1/n^2, so the f32 measure can be off by ~0.03 (measured by
+    scripts/tpu_smoke.py on a random slab) — a scan could silently drop
+    rare-variant pairs the exact math keeps.
+
+    Here every comparison is a scaled integer form.  With ``nd = n*c_ab
+    - c1*c2`` (= n^2 * D, int32-exact for n <= `_EXACT_MASK_MAX_HAP`):
+      r^2 >= t  <=>  nd^2 >= t * (c1*(n-c1)) * (c2*(n-c2))
+      D'  >= t  <=>  |nd| >= t * M,   M = min(c1*(n-c2), (n-c1)*c2)
+                     for nd >= 0, else min(c1*c2, (n-c1)*(n-c2))
+    The int32 operands cast to f32 with <= 1-ulp relative error, and are
+    EXACT below 2^24 — precisely the regime where the margins are tight —
+    so with the caller's 5e-4 margin the mask keeps a superset of the
+    exactly-kept pairs in every regime; the exact host refilter then
+    applies the reference's post-rounding threshold (ld_area.py:248).
+    Monomorphic cells (denominator 0, reference sentinel value 0) are
+    kept only when the margin threshold is <= 0.
+    """
+    n = n_hap.astype(jnp.int32)
+    c1i = c1_col.astype(jnp.int32)  # counts are exact in f32
+    c2i = c2_row.astype(jnp.int32)
+    nd = n * cab_i32 - c1i * c2i
+    nd_f = nd.astype(jnp.float32)
+    if sel == 0:
+        ab = (c1i * (n - c1i)).astype(jnp.float32) * (
+            c2i * (n - c2i)
+        ).astype(jnp.float32)
+        keep = nd_f * nd_f >= thres_dev * ab
+        keep &= (ab > 0) | (thres_dev <= 0)
+    else:
+        m_pos = jnp.minimum(c1i * (n - c2i), (n - c1i) * c2i)
+        m_neg = jnp.minimum(c1i * c2i, (n - c1i) * (n - c2i))
+        m = jnp.where(nd >= 0, m_pos, m_neg).astype(jnp.float32)
+        keep = jnp.abs(nd_f) >= thres_dev * m
+        keep &= (m > 0) | (thres_dev <= 0)
+    return keep
+
+
 def _tile_ld(
     g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev, max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
-    fetch=(),
+    fetch=(), exact_mask=True,
 ):
-    """Measure/values + keep-mask for one tile sliced from HBM-resident G.
+    """Count tile + keep-mask for one tile sliced from HBM-resident G.
 
     With ``packed=True`` the resident matrix is the store's bitpacked
     uint8 (V, ceil(H/8)) form: 8x less HBM and the counts run as int8
     bit-plane matmuls (see ld_pallas._tri_kernel_packed for the algebra).
 
-    The threshold mask is computed on ``meas`` — the divide-free fast r^2
-    (sel == 0) or exact-order D' (sel == 1).  The count pass
-    (``fetch=()``) produces ONLY meas (one output tile, light epilogue —
-    the configuration that hits the kernel-bench rate); the fetch pass
-    requests extra output tiles by name: ``("cab",)`` for exact scans
-    (raw int32 counts, from which the host finishes hits bit-exactly —
-    r2/dp never cross the wire) or ``("r2", "dp")`` for fast scans.
-    Both passes share the same traced arithmetic (`ld_pallas._fast_r2` /
-    `_ld_epilogue`), so their masks agree bit-for-bit and pass 1's counts
-    always size pass 2's buffers right.
+    The threshold mask is computed OUTSIDE the kernel from the exact
+    int32 count tile (`_exact_keep_mask`) — cancellation-free, and the
+    count pass (``fetch=()``) then needs no epilogue in the kernel at
+    all (one int32 output tile, the configuration that hits the
+    kernel-bench rate).  The fetch pass requests extra output tiles by
+    name: ``("cab",)`` for exact scans (raw counts, from which the host
+    finishes hits bit-exactly — r2/dp never cross the wire) or
+    ``("r2", "dp")`` for fast scans.  Both passes derive their masks
+    from the identical integer comparison, so they agree bit-for-bit and
+    pass 1's counts always size pass 2's buffers right.
+    ``exact_mask=False`` (cohorts beyond `_EXACT_MASK_MAX_HAP`) falls
+    back to the f32 epilogue measure ("meas": divide-free fast r^2 for
+    sel == 0, exact-order D' for sel == 1) with the same margin
+    semantics.
     """
     g_rows = jax.lax.dynamic_slice(
         g_dev, (row0, 0), (band, g_dev.shape[1])
@@ -133,7 +187,9 @@ def _tile_ld(
     c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
     ipq_rows = jax.lax.dynamic_slice(ipq_dev, (row0, 0), (band, 1))
     ipq_cols = jax.lax.dynamic_slice(ipq_dev, (col0, 0), (chunk, 1))
-    outs = ("meas",) + tuple(fetch) if fetch else ("meas",)
+    outs = ("cab",) + tuple(x for x in fetch if x != "cab")
+    if not exact_mask:
+        outs = ("meas",) + outs
 
     if use_pallas:
         vals = ld_band_sweep(
@@ -168,32 +224,39 @@ def _tile_ld(
         n = n_hap.astype(jnp.float32)
         inv_n = 1.0 / n
         r2x = dpx = None
-        if sel == 1 or "r2" in outs or "dp" in outs:
+        if ("meas" in outs and sel == 1) or "r2" in outs or "dp" in outs:
             r2x, dpx = _ld_epilogue(c, c1_rows, c1_cols.T, inv_n, n)
-        if sel == 0:
-            meas = _fast_r2(c, c1_rows, c1_cols.T, ipq_rows, ipq_cols.T,
-                            inv_n)
-        else:
-            meas = dpx
-        vals = {"meas": meas, "r2": r2x, "dp": dpx, "cab": c_ab}
+        vals = {"r2": r2x, "dp": dpx, "cab": c_ab}
+        if "meas" in outs:
+            vals["meas"] = (
+                _fast_r2(c, c1_rows, c1_cols.T, ipq_rows, ipq_cols.T,
+                         inv_n)
+                if sel == 0
+                else dpx
+            )
         vals = {k: vals[k] for k in outs}
-
-    if "cab" in vals:
-        h_bound = g_dev.shape[1] * (8 if packed else 1)
-        if h_bound < 32768:
-            # counts bounded by the haplotype axis: int16 halves the
-            # per-hit wire cost of the exact-mode fetch
-            vals["cab"] = vals["cab"].astype(jnp.int16)
 
     rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 0)
     cols_g = col0 + jax.lax.broadcasted_iota(jnp.int32, (band, chunk), 1)
     keep = cols_g < rows_g  # strict lower triangle (no self-pairs)
-    keep &= vals["meas"] >= thres_dev
+    if exact_mask:
+        keep &= _exact_keep_mask(
+            vals["cab"], c1_rows, c1_cols.T, n_hap, thres_dev, sel
+        )
+    else:
+        keep &= vals["meas"] >= thres_dev
     if use_dist:
         pos_rows = jax.lax.dynamic_slice(pos_dev, (row0,), (band,))
         pos_cols = jax.lax.dynamic_slice(pos_dev, (col0,), (chunk,))
         dist = jnp.abs(pos_rows[:, None] - pos_cols[None, :])
         keep &= dist <= max_dist
+
+    h_bound = g_dev.shape[1] * (8 if packed else 1)
+    if h_bound < 32768:
+        # counts bounded by the haplotype axis: int16 halves the per-hit
+        # wire cost of the exact-mode fetch (downcast AFTER the mask,
+        # which consumes the int32 tile)
+        vals["cab"] = vals["cab"].astype(jnp.int16)
     return vals, keep, rows_g, cols_g
 
 
@@ -201,6 +264,7 @@ def _count_tiles_body(
     g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev,
     max_dist,
     *, band, chunk, use_pallas, interpret, sel, use_dist, packed=False,
+    exact_mask=True,
 ):
     """Pass 1 body: per-tile hit COUNTS for a batch of tiles.
 
@@ -217,7 +281,7 @@ def _count_tiles_body(
             g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
-            packed=packed, fetch=(),
+            packed=packed, fetch=(), exact_mask=exact_mask,
         )
         keep &= is_valid
         return None, jnp.sum(keep.astype(jnp.int32))
@@ -229,7 +293,7 @@ def _count_tiles_body(
 def _fetch_tiles_body(
     g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, n_hap, thres_dev, max_dist,
     *, band, chunk, cap, use_pallas, interpret, sel, use_dist,
-    packed=False, want=("cab",),
+    packed=False, want=("cab",), exact_mask=True,
 ):
     """Pass 2 body: compacted hits for a BATCH of tiles that contain some.
 
@@ -249,7 +313,7 @@ def _fetch_tiles_body(
             g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
-            fetch=tuple(want),
+            fetch=tuple(want), exact_mask=exact_mask,
         )
         ii, jj = _compact_keep_2d(keep, cap)
         safe_i = jnp.maximum(ii, 0)
@@ -271,7 +335,7 @@ def _fetch_compact_body(
     g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, n_hap, thres_dev,
     max_dist,
     *, band, chunk, tile_cap, total_cap, use_pallas, interpret, sel,
-    use_dist, packed=False, want=("cab",),
+    use_dist, packed=False, want=("cab",), exact_mask=True,
 ):
     """Single-program pass 2: ALL hit tiles compacted into ONE buffer.
 
@@ -297,7 +361,7 @@ def _fetch_compact_body(
             g_dev, c1_dev, ipq_dev, pos_dev, row0, col0, n_hap, thres_dev,
             max_dist, band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist, packed=packed,
-            fetch=tuple(want),
+            fetch=tuple(want), exact_mask=exact_mask,
         )
         keep &= is_valid
         ii, jj = _compact_keep_2d(keep, tile_cap)
@@ -322,7 +386,7 @@ _count_tiles_batch = functools.partial(
     jax.jit,
     static_argnames=(
         "band", "chunk", "use_pallas", "interpret", "sel", "use_dist",
-        "packed",
+        "packed", "exact_mask",
     ),
 )(_count_tiles_body)
 
@@ -330,7 +394,7 @@ _fetch_tiles_batch = functools.partial(
     jax.jit,
     static_argnames=(
         "band", "chunk", "cap", "use_pallas", "interpret", "sel",
-        "use_dist", "packed", "want",
+        "use_dist", "packed", "want", "exact_mask",
     ),
 )(_fetch_tiles_body)
 
@@ -338,7 +402,7 @@ _fetch_compact_batch = functools.partial(
     jax.jit,
     static_argnames=(
         "band", "chunk", "tile_cap", "total_cap", "use_pallas",
-        "interpret", "sel", "use_dist", "packed", "want",
+        "interpret", "sel", "use_dist", "packed", "want", "exact_mask",
     ),
 )(_fetch_compact_body)
 
@@ -570,10 +634,10 @@ def stream_threshold_scan(
         import os
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        # "v3": batches persist exactly the arrays this mode needs (older
-        # layouts are not resumable)
+        # "v4": bumped when mask semantics change (v4 = integer-exact
+        # threshold mask) — older layouts/hit-sets are not resumable
         fp = hashlib.sha256(
-            repr(("v3", want, v, h, measure, thres, max_dist, band, chunk,
+            repr(("v4", want, v, h, measure, thres, max_dist, band, chunk,
                   int(np.asarray(pos)[-1]) if v else 0)).encode()
         ).hexdigest()[:16]
 
@@ -614,6 +678,7 @@ def stream_threshold_scan(
             band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
             packed=packed,
+            exact_mask=int(n_haplotypes) <= _EXACT_MASK_MAX_HAP,
         )
         scalars = (
             jnp.int32(n_haplotypes), jnp.float32(margin_thres),

@@ -80,6 +80,82 @@ def test_scan_many_batches_compact_fetch(rng):
         assert r2_s[k] == str(res["r_square"])
 
 
+def test_exact_mask_grid_vs_oracle():
+    """_exact_keep_mask must keep a SUPERSET of the exactly-kept pairs
+    and stay within the margin band, for every (c1, c2, cab) regime —
+    including the near-fixed combos where the f32 epilogue mask loses
+    pairs outright (e.g. counts (5003, 5007, 5002): true D' == 1.0,
+    f32 exact-order D' == 0.897 — a thres-0.95 scan would drop it)."""
+    import jax.numpy as jnp
+
+    from ld_tools_tpu.ops.ld_stream import _exact_keep_mask
+
+    n = 5008
+    cs = [0, 1, 2, 5, 47, 2504, 4993, 5003, 5006, 5007, 5008]
+    combos = []
+    for c1 in cs:
+        for c2 in cs:
+            lo, hi = max(0, c1 + c2 - n), min(c1, c2)
+            for cab in {lo, hi, (lo + hi) // 2, 5002 if lo <= 5002 <= hi else lo}:
+                combos.append((c1, c2, cab))
+    c1v = np.array([c[0] for c in combos], dtype=np.float64)
+    c2v = np.array([c[1] for c in combos], dtype=np.float64)
+    cabv = np.array([c[2] for c in combos], dtype=np.int32)
+    # f64 oracle from counts (reference op order)
+    p1, p2, pab = c1v / n, c2v / n, cabv / n
+    d = pab - p1 * p2
+    q1, q2 = 1 - p1, 1 - p2
+    den_r2 = (p1 * q1) * (p2 * q2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r2 = np.where(den_r2 == 0, 0.0,
+                      d * d / np.where(den_r2 == 0, 1, den_r2))
+        den_dp = np.where(d >= 0, np.minimum(p1 * q2, q1 * p2),
+                          np.maximum(-p1 * p2, -q1 * q2))
+        dp = np.where(den_dp == 0, 0.0,
+                      d / np.where(den_dp == 0, 1, den_dp))
+    margin = 5e-4
+    for sel, exact_vals in ((0, r2), (1, dp)):
+        for thres in (0.2, 0.8, 0.95, 1.0):
+            keep = np.asarray(_exact_keep_mask(
+                jnp.asarray(cabv)[None, :],
+                jnp.asarray(c1v, dtype=jnp.float32)[None, :],
+                jnp.asarray(c2v, dtype=jnp.float32)[None, :],
+                jnp.int32(n), jnp.float32(thres - margin), sel,
+            ))[0]
+            # superset: every pair whose ROUNDED exact value passes the
+            # threshold must be kept (round-up can reach thres - 5e-5)
+            must_keep = np.round(exact_vals, 4) >= thres
+            assert np.all(keep[must_keep]), (
+                sel, thres, np.asarray(combos)[must_keep & ~keep][:5])
+            # bounded overkeep: nothing below the margin band survives
+            may_keep = exact_vals >= thres - margin - 1e-6
+            assert np.all(may_keep[keep]), (
+                sel, thres, np.asarray(combos)[keep & ~may_keep][:5])
+
+
+def test_scan_near_fixed_variants_not_dropped(rng):
+    """End-to-end: near-fixed variant pairs (alt freq ~ 1) whose exact
+    D' is 1.0 must survive a high-threshold scan.  The pre-integer-mask
+    code lost them (f32 cancellation, ~0.1 absolute D' error)."""
+    n = 5008
+    G = (rng.random((40, n)) < 0.5).astype(np.int8)
+    G[10] = 1
+    G[10, 5003:] = 0          # c1 = 5003
+    G[20] = 1
+    G[20, 5002] = 0           # c2 = 5007, overlap with row 10 = 5002
+    pos = (np.arange(40, dtype=np.int64) + 1) * 1000
+    hits = stream_threshold_scan(
+        G, pos=pos, measure="d_prime", thres=0.95,
+        band=16, chunk=16, use_pallas=False, exact=True,
+    )
+    got = set(zip(hits.i.tolist(), hits.j.tolist()))
+    assert (20, 10) in got
+    res = oracle_ld(list(G[20]), list(G[10]))
+    assert res["d_prime"] == 1.0
+    expected, _ = _expected_hits(G, pos, "d_prime", 0.95)
+    assert got == expected
+
+
 def test_scan_empty_result(rng):
     G = random_haplotypes(rng, 20, 64, maf_low=0.3, maf_high=0.7)
     hits = stream_threshold_scan(
