@@ -133,6 +133,23 @@ def test_exact_mask_grid_vs_oracle():
                 sel, thres, np.asarray(combos)[keep & ~may_keep][:5])
 
 
+def test_scan_f32_fallback_mask(rng, monkeypatch):
+    """Cohorts beyond _EXACT_MASK_MAX_HAP fall back to the f32 epilogue
+    mask; force that path and check it still matches the oracle away
+    from the ill-conditioned regimes (moderate MAFs)."""
+    from ld_tools_tpu.ops import ld_stream
+
+    monkeypatch.setattr(ld_stream, "_EXACT_MASK_MAX_HAP", 0)
+    G = random_haplotypes(rng, 48, 96, maf_low=0.1, maf_high=0.9)
+    pos = (np.arange(48, dtype=np.int64) + 1) * 700
+    hits = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=0.5,
+        band=16, chunk=16, use_pallas=False, exact=True,
+    )
+    expected, _ = _expected_hits(G, pos, "r_square", 0.5)
+    assert set(zip(hits.i.tolist(), hits.j.tolist())) == expected
+
+
 def test_scan_near_fixed_variants_not_dropped(rng):
     """End-to-end: near-fixed variant pairs (alt freq ~ 1) whose exact
     D' is 1.0 must survive a high-threshold scan.  The pre-integer-mask
