@@ -6,10 +6,11 @@ them to the host would drown the interconnect.  This module uploads the
 packed int8 haplotype matrix to HBM ONCE (chr-scale: 100k x 5120 =
 0.5 GB), then sweeps fixed-shape (row-band x column-chunk) tiles sliced
 out on device — constant shapes mean ONE compiled executable and zero
-per-tile host->device traffic — applies the LD threshold (and an
-optional max-distance window) on device, and compacts surviving pairs to
-fixed-size index buffers (jnp.nonzero with a static size cap), so only
-hits ever leave the device.
+per-tile host->device traffic — applies the LD threshold (integer-exact
+scaled comparisons, `_exact_keep_mask`) and an optional max-distance
+window on device, and compacts surviving pairs to fixed-size index
+buffers (`_compact_true_positions`: top_k on TPU, nonzero on CPU), so
+only hits ever leave the device.
 
 This is a capability beyond the reference (its README caps practical
 matrices at ~500x500 — reference README.md:74); the per-pair math is
