@@ -494,8 +494,9 @@ def stream_threshold_scan(
     scale 100k x 5120 matrix is 0.5 GB, comfortably resident.  Results
     are identical either way (padding bits are zero).
 
-    The device filter runs one 4-dp rounding step below ``thres`` so f32
-    noise can never drop a pair the exact math keeps; exact=True then
+    The device filter compares exact scaled integers one 4-dp rounding
+    step below ``thres`` (`_exact_keep_mask` — a pair the exact math
+    keeps cannot be dropped, in ANY frequency regime); exact=True then
     re-finishes hits in f64 and re-filters on the *rounded* values,
     matching the reference's post-rounding threshold semantics
     (ld_area.py:248).
