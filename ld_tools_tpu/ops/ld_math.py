@@ -20,6 +20,15 @@ f32 accumulation is exact for any haplotype count below 2^24 (1000 Genomes
 phase 3 has 5,008 haplotypes).  The fast path finishes in f32 on device; the
 bit-exact-vs-reference path exports the integer counts and finishes in f64 on
 the host (see ld_tools_tpu/ops/exact.py).
+
+Conditioning caveat for the f32 device values: ``d = p_ab - p1*p2`` is a
+cancelling difference and the D' denominator can be as small as 1/n^2, so
+while well-conditioned cells see ~1e-7 relative noise, near-monomorphic
+variants (alt count within a few of 0 or n) can err up to ~1e-1 ABSOLUTE
+in f32 D' (r^2 up to ~1e-3).  Every file-output path therefore finishes
+from integer counts in f64, and the streamed scan thresholds on scaled
+exact integers (ops/ld_stream._exact_keep_mask) rather than on these f32
+values.
 """
 
 from __future__ import annotations
