@@ -80,23 +80,27 @@ def test_scan_many_batches_compact_fetch(rng):
         assert r2_s[k] == str(res["r_square"])
 
 
-def test_exact_mask_grid_vs_oracle():
+@pytest.mark.parametrize("n", [96, 5008, 46340])
+def test_exact_mask_grid_vs_oracle(n):
     """_exact_keep_mask must keep a SUPERSET of the exactly-kept pairs
     and stay within the margin band, for every (c1, c2, cab) regime —
     including the near-fixed combos where the f32 epilogue mask loses
-    pairs outright (e.g. counts (5003, 5007, 5002): true D' == 1.0,
-    f32 exact-order D' == 0.897 — a thres-0.95 scan would drop it)."""
+    pairs outright (e.g. counts (5003, 5007, 5002) at n=5008: true
+    D' == 1.0, f32 exact-order D' == 0.897 — a thres-0.95 scan would
+    drop it).  n=46340 is the int32-exactness boundary
+    (_EXACT_MASK_MAX_HAP)."""
     import jax.numpy as jnp
 
     from ld_tools_tpu.ops.ld_stream import _exact_keep_mask
 
-    n = 5008
-    cs = [0, 1, 2, 5, 47, 2504, 4993, 5003, 5006, 5007, 5008]
+    cs = sorted({0, 1, 2, 5, min(47, n), n // 2, max(n - 15, 0),
+                 max(n - 5, 0), max(n - 2, 0), max(n - 1, 0), n})
     combos = []
     for c1 in cs:
         for c2 in cs:
             lo, hi = max(0, c1 + c2 - n), min(c1, c2)
-            for cab in {lo, hi, (lo + hi) // 2, 5002 if lo <= 5002 <= hi else lo}:
+            special = n - 6 if lo <= n - 6 <= hi else lo
+            for cab in {lo, hi, (lo + hi) // 2, special}:
                 combos.append((c1, c2, cab))
     c1v = np.array([c[0] for c in combos], dtype=np.float64)
     c2v = np.array([c[1] for c in combos], dtype=np.float64)
