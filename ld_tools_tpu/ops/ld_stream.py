@@ -45,7 +45,11 @@ class ScanHits:
 
     ``i``/``j`` index rows of the scanned G with i > j.  With exact=True
     the values are f64 finished in the reference op order and the int-0
-    sentinel masks are populated; otherwise they are the device f32.
+    sentinel masks are populated; otherwise they are the device f32 and
+    the hit SET is the raw device mask — thresholded one 4-dp rounding
+    step BELOW ``thres`` (the margin the exact refilter normally
+    consumes), so a fast scan may include pairs within 5e-4 under the
+    threshold.
     """
 
     i: np.ndarray
