@@ -96,6 +96,40 @@ def pair_counts(a: np.ndarray, b: np.ndarray, row_pad: int = 128, hap_pad: int =
     )
 
 
+def pair_counts_async(a: np.ndarray, b: np.ndarray, row_pad: int = 128,
+                      hap_pad: int = 512):
+    """Issue the device count job for (a, b) WITHOUT blocking.
+
+    Returns a zero-arg ``finalize() -> (c_ab, c1, c2)`` (numpy, trimmed).
+    jax dispatch is asynchronous, so a caller can stage block k+1's
+    counts before finalizing block k — overlapping the device compute +
+    device->host transfer of the next block with host-side work
+    (exact f64 finish, cell formatting, file writes) on the current one.
+    The streamed 10k-variant triangle TSV path (BASELINE metric #2) is
+    the intended user.  Tiny jobs run eagerly on the host like
+    ``pair_counts``.
+    """
+    n_hap = a.shape[1]
+    assert b.shape[1] == n_hap
+    va, vb = a.shape[0], b.shape[0]
+    if va * vb * max(n_hap, 1) < _HOST_COUNTS_MACS:
+        out = _pair_counts_host(a, b)
+        return lambda: out
+    h = _round_up(max(n_hap, 1), hap_pad)
+    ap = _pad_cols(_pad_rows(a, _round_up(max(va, 1), row_pad)), h)
+    bp = _pad_cols(_pad_rows(b, _round_up(max(vb, 1), row_pad)), h)
+    c_ab, c1, c2 = _counts_kernel(jnp.asarray(ap), jnp.asarray(bp))
+
+    def finalize():
+        return (
+            np.asarray(c_ab)[:va, :vb],
+            np.asarray(c1)[:va],
+            np.asarray(c2)[:vb],
+        )
+
+    return finalize
+
+
 def exact_pair_ld(a: np.ndarray, b: np.ndarray, n_haplotypes=None) -> ExactLD:
     """Counts on device, bit-exact finish on host."""
     if n_haplotypes is None:

@@ -304,7 +304,7 @@ def _write_table_streamed(
 
     import numpy as np
 
-    from ld_tools_tpu.ops.engine import pair_counts
+    from ld_tools_tpu.ops.engine import pair_counts_async
     from ld_tools_tpu.ops.exact import (
         exact_ld_from_counts,
         format_rounded,
@@ -318,6 +318,11 @@ def _write_table_streamed(
     path = os.path.join(trg_dir_path, trg_file_base + ".tsv")
     tab = "\t"
     poss_str = [str(p) for p in poss_srtd]
+    starts = list(range(0, n, row_block))
+    # two-slot pipeline: block k+1's device counts are in flight (jax
+    # dispatch is async) while block k's exact finish + cell formatting
+    # + write run on the host
+    pending = pair_counts_async(G[: min(row_block, n)], G[: min(row_block, n)])
     with open(path, "w") as fh:
         fh.write(
             f"##General\tinfo:\t{cfg.ld_measure}\tchr{chrom}\t"
@@ -326,11 +331,15 @@ def _write_table_streamed(
         )
         fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
         fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
-        for r0 in range(0, n, row_block):
+        for bi, r0 in enumerate(starts):
             r1 = min(r0 + row_block, n)
             # columns beyond the block's last row are all '0' (strict
             # lower triangle) — never computed
-            c_ab, c1r, c1c = pair_counts(G[r0:r1], G[:r1])
+            c_ab, c1r, c1c = pending()
+            if bi + 1 < len(starts):
+                nr0 = starts[bi + 1]
+                nr1 = min(nr0 + row_block, n)
+                pending = pair_counts_async(G[nr0:nr1], G[:nr1])
             exact = exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
             vals = (
                 exact.r_square

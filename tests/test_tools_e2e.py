@@ -335,6 +335,32 @@ def test_triangle_fast_table_matches_object_path(env, tmp_path):
     assert open(pa).read() == open(pb).read()
 
 
+def test_triangle_streamed_table_multiblock_pipeline(env, tmp_path,
+                                                     monkeypatch):
+    """Force tiny row blocks so the streamed writer's two-slot async
+    pipeline (pair_counts_async: block k+1 in flight while block k
+    formats) runs several stages; output must stay byte-identical to the
+    object-array path."""
+    from ld_tools_tpu.tools.triangle import TriangleRunner
+
+    orig = TriangleRunner._write_table_streamed
+
+    def tiny_blocks(self, *a, **kw):
+        kw["row_block"] = 4
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(TriangleRunner, "_write_table_streamed", tiny_blocks)
+    trg_a = str(tmp_path / "a")
+    triangle.run(_triangle_args(env, trg_a, matrix_type="table", thres=0.4))
+    monkeypatch.setattr(TriangleRunner, "_write_table_streamed", orig)
+    trg_b = str(tmp_path / "b")
+    triangle.run(_triangle_args(env, trg_b, matrix_type="both", thres=0.4))
+    for chrom in ("5", "11"):
+        pa = os.path.join(trg_a, "query_LD_matr", f"query_chr{chrom}_r.tsv")
+        pb = os.path.join(trg_b, "query_LD_matr", f"query_chr{chrom}_r.tsv")
+        assert open(pa).read() == open(pb).read()
+
+
 def test_triangle_dprime_measure_matches_oracle(env, tmp_path):
     trg = str(tmp_path)
     triangle.run(_triangle_args(env, trg, measure="d_prime",
