@@ -20,7 +20,7 @@ import numpy as np
 
 from ld_tools_tpu.ingest import create_src_dict
 from ld_tools_tpu.io.writers import AreaResultWriter, makedirs
-from ld_tools_tpu.ops.engine import pair_counts
+from ld_tools_tpu.ops.engine import pair_counts_async
 from ld_tools_tpu.ops.exact import exact_ld_from_counts
 from ld_tools_tpu.tools.common import DataConfig
 from ld_tools_tpu.utils.logging import get_logger
@@ -178,9 +178,19 @@ class AreaRunner:
             groups.append((cur, cur_start, cur_stop))
 
         written = 0
-        for qis, c_start, c_stop in groups:
+        # two-slot pipeline: group k+1's device counts are dispatched
+        # (jax dispatch is async) before group k's exact f64 finish and
+        # per-query file writes run on the host
+        pending = None
+        if groups:
+            qis0, s0, t0 = groups[0]
+            pending = pair_counts_async(G[q_rows[qis0]], G[s0:t0])
+        for gi, (qis, c_start, c_stop) in enumerate(groups):
             grp = q_rows[qis]
-            c_ab, c1q, c1cols = pair_counts(G[grp], G[c_start:c_stop])
+            c_ab, c1q, c1cols = pending()
+            if gi + 1 < len(groups):
+                qis_n, s_n, t_n = groups[gi + 1]
+                pending = pair_counts_async(G[q_rows[qis_n]], G[s_n:t_n])
             exacts = exact_ld_from_counts(c_ab, c1q, c1cols, n_hap)
             r2_all = exacts.r_square_rounded()
             dp_all = exacts.d_prime_rounded()
