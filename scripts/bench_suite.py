@@ -137,11 +137,15 @@ def config3():
         pop_names="all", flank_size=250000, ld_thres_measure="r_square",
         ld_low_thres=0.8, trg_file_type="tsv", max_proc_quan=4,
     )
-    t0 = time.time()
-    area.run(args)
-    dt = time.time() - t0
-    print(f"config3 ld_area 50 queries 250kb: {dt:.2f}s")
-    record("3_ld_area_50q_250kb", dt)
+    # two iterations like the other device configs: the first may pay
+    # one-time remote program compiles/loads, the second is steady state
+    for warm in (False, True):
+        t0 = time.time()
+        area.run(args)
+        dt = time.time() - t0
+        label = "3_ld_area_50q_250kb" + ("_warm" if warm else "")
+        print(f"config{label}: {dt:.2f}s")
+        record(label, dt)
 
 
 def config4():
