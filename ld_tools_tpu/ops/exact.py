@@ -105,11 +105,21 @@ class ExactLD:
         }
 
 
-def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
+def exact_ld_from_counts(
+    c_ab, c1, c2, n_haplotypes: int, len1=None, len2=None
+) -> ExactLD:
     """Finish LD in f64 from exact integer counts, reference op order.
 
     ``c_ab``: (V1, V2) alt+alt co-occurrence counts (any exact dtype);
-    ``c1``: (V1,), ``c2``: (V2,) alt counts; ``n_haplotypes``: 2N.
+    ``c1``: (V1,), ``c2``: (V2,) alt counts; ``n_haplotypes``: the pair
+    walk length (reference ``htypes_quan``, calc_ld.py:31-33).
+
+    ``len1``/``len2`` are each side's OWN genotype-list length; they
+    differ from ``n_haplotypes`` only for mixed-ploidy cross-group pairs
+    (chrX PAR x non-PAR), where the reference zips the two lists down to
+    the shorter one but counts ref alleles over each full list
+    (calc_ld.py:30-44 + ld_area.py:230-235): q_k = (len_k - c_k) / n.
+    Default (None) means len_k == n, the uniform-ploidy case.
 
     Integer count blocks route through the native one-pass finisher
     (native/exactfinish.cpp — bit-identical IEEE order, no full-matrix
@@ -117,11 +127,15 @@ def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
     implementation below.
     """
     n = float(n_haplotypes)
+    len1 = n if len1 is None else float(len1)
+    len2 = n if len2 is None else float(len2)
     c1 = np.asarray(c1, dtype=np.float64)
     c2 = np.asarray(c2, dtype=np.float64)
     c_raw = np.asarray(c_ab)
     if (
-        c_raw.ndim == 2
+        len1 == n
+        and len2 == n
+        and c_raw.ndim == 2
         and c_raw.size >= 4096
         and np.issubdtype(c_raw.dtype, np.integer)
         and _native_finish_available()
@@ -139,9 +153,9 @@ def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
 
     p_ab = c_ab / n
     p1 = (c1 / n)[:, None]
-    q1 = ((n - c1) / n)[:, None]
+    q1 = ((len1 - c1) / n)[:, None]
     p2 = (c2 / n)[None, :]
-    q2 = ((n - c2) / n)[None, :]
+    q2 = ((len2 - c2) / n)[None, :]
 
     d = p_ab - p1 * p2
     den_pos = np.minimum(p1 * q2, q1 * p2)
@@ -168,19 +182,25 @@ def exact_ld_from_counts(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
     )
 
 
-def exact_ld_elementwise(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
+def exact_ld_elementwise(
+    c_ab, c1, c2, n_haplotypes: int, len1=None, len2=None
+) -> ExactLD:
     """Elementwise (paired) variant of exact_ld_from_counts.
 
     ``c_ab``, ``c1``, ``c2`` are 1-D arrays of per-PAIR counts (pair k is
     variant-with-count c1[k] vs variant-with-count c2[k]) — used by the
     streamed scan to re-finish threshold hits exactly.  Same f64 op order
-    as the outer-product form.
+    as the outer-product form.  ``len1``/``len2`` as in
+    exact_ld_from_counts (mixed-ploidy cross-group pairs only).
     """
     n = float(n_haplotypes)
+    len1 = n if len1 is None else float(len1)
+    len2 = n if len2 is None else float(len2)
     c_ab = np.asarray(c_ab, dtype=np.float64)
     c1 = np.asarray(c1, dtype=np.float64)
     c2 = np.asarray(c2, dtype=np.float64)
-    if c_ab.size >= 65536 and _native_finish_available():
+    if (len1 == n and len2 == n and c_ab.size >= 65536
+            and _native_finish_available()):
         r2, dp, r2_iz, dp_iz = _native.finish_pairs(c_ab, c1, c2, n)
         return ExactLD(
             r_square=r2,
@@ -193,9 +213,9 @@ def exact_ld_elementwise(c_ab, c1, c2, n_haplotypes: int) -> ExactLD:
 
     p_ab = c_ab / n
     p1 = c1 / n
-    q1 = (n - c1) / n
+    q1 = (len1 - c1) / n
     p2 = c2 / n
-    q2 = (n - c2) / n
+    q2 = (len2 - c2) / n
 
     d = p_ab - p1 * p2
     den_pos = np.minimum(p1 * q2, q1 * p2)

@@ -1,17 +1,25 @@
 """Pure-Python LD oracle used as ground truth in tests.
 
 Independent reimplementation of the math spec distilled from reference
-backend/calc_ld.py (documented in SURVEY.md §0): given two equal-length
-sequences of phased single-allele genotypes (0 = ref, 1 = alt), produce
-r^2, D', and the two alt-allele frequencies, all rounded to 4 decimals,
-with the reference's monomorphic conventions (D' = int 0 on a zero
-denominator, r^2 = int 0 whenever D' == 0).
+backend/calc_ld.py (documented in SURVEY.md §0): given two sequences of
+phased single-allele genotypes (0 = ref, 1 = alt), produce r^2, D', and
+the two alt-allele frequencies, all rounded to 4 decimals, with the
+reference's monomorphic conventions (D' = int 0 on a zero denominator,
+r^2 = int 0 whenever D' == 0).
+
+Mixed-ploidy semantics (chrX/chrY): the reference builds each variant's
+genotype list by appending however many alleles each sample has
+(ld_area.py:230-235), so the two lists can differ in length.  calc_ld
+then zips them — truncating the pair walk to the SHORTER list — while
+each variant's allele counts run over its own FULL list, and every
+frequency divides by the zip length (calc_ld.py:30-44).  The oracle
+replicates exactly that.
 """
 
 
 def oracle_ld(genotypes_a, genotypes_b):
-    n = len(genotypes_a)
-    assert len(genotypes_b) == n and n > 0
+    n = min(len(genotypes_a), len(genotypes_b))
+    assert n > 0
 
     both_alt = 0
     for a, b in zip(genotypes_a, genotypes_b):

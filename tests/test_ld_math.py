@@ -185,3 +185,46 @@ def test_exact_fuzz_many_configs(rng):
         assert exact.pair(i, j) == oracle_ld(list(G[i]), list(G[j])), (
             v, h, i, j,
         )
+
+
+def test_exact_mixed_length_lists_match_oracle(rng):
+    """Mixed-ploidy cross-group semantics: the two genotype lists differ
+    in length (chrX PAR x non-PAR in the reference, ld_area.py:230-235);
+    the pair walk truncates to the shorter list while each side's ref
+    counts run over its own full list (calc_ld.py:30-44)."""
+    for _ in range(20):
+        len1 = int(rng.integers(3, 120))
+        len2 = int(rng.integers(3, 120))
+        m = min(len1, len2)
+        g1 = random_haplotypes(rng, 4, len1, maf_low=0.0, maf_high=1.0)
+        g2 = random_haplotypes(rng, 5, len2, maf_low=0.0, maf_high=1.0)
+        c_ab = g1[:, :m].astype(np.int64) @ g2[:, :m].T.astype(np.int64)
+        exact = exact_ld_from_counts(
+            c_ab, g1.sum(axis=1), g2.sum(axis=1), m, len1=len1, len2=len2
+        )
+        for i in range(4):
+            for j in range(5):
+                res = oracle_ld(list(g1[i]), list(g2[j]))
+                pair = exact.pair(i, j)
+                assert pair == res, (len1, len2, i, j)
+                assert type(pair["r_square"]) is type(res["r_square"])
+                assert type(pair["d_prime"]) is type(res["d_prime"])
+
+
+def test_exact_mixed_length_elementwise_matches_oracle(rng):
+    from ld_tools_tpu.ops.exact import exact_ld_elementwise
+
+    len1, len2 = 90, 61
+    m = min(len1, len2)
+    g1 = random_haplotypes(rng, 16, len1, maf_low=0.0, maf_high=1.0)
+    g2 = random_haplotypes(rng, 16, len2, maf_low=0.0, maf_high=1.0)
+    c_ab = (g1[:, :m] * g2[:, :m]).sum(axis=1)
+    exact = exact_ld_elementwise(
+        c_ab, g1.sum(axis=1), g2.sum(axis=1), m, len1=len1, len2=len2
+    )
+    r2 = exact.r_square_rounded()
+    dp = exact.d_prime_rounded()
+    for k in range(16):
+        res = oracle_ld(list(g1[k]), list(g2[k]))
+        assert r2[k] == res["r_square"]
+        assert dp[k] == res["d_prime"]
