@@ -85,7 +85,8 @@ def _load():
         lib.vp_scan.argtypes = [ctypes.c_char_p]
         lib.vp_scan_mt.restype = ctypes.c_void_p
         lib.vp_scan_mt.argtypes = [ctypes.c_char_p, ctypes.c_int32]
-        for name in ("vp_n_variants", "vp_n_haplotypes", "vp_row_bytes"):
+        for name in ("vp_n_variants", "vp_n_haplotypes", "vp_row_bytes",
+                     "vp_n_profiles"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
@@ -93,6 +94,10 @@ def _load():
         lib.vp_genotypes_packed.argtypes = [ctypes.c_void_p]
         lib.vp_positions.restype = ctypes.POINTER(ctypes.c_int64)
         lib.vp_positions.argtypes = [ctypes.c_void_p]
+        lib.vp_profiles.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.vp_profiles.argtypes = [ctypes.c_void_p]
+        lib.vp_pgroups.restype = ctypes.POINTER(ctypes.c_int16)
+        lib.vp_pgroups.argtypes = [ctypes.c_void_p]
         for name in ("vp_rsids", "vp_refs", "vp_alts", "vp_vts",
                      "vp_samples", "vp_error"):
             fn = getattr(lib, name)
@@ -111,7 +116,13 @@ def _split(raw: bytes) -> list:
 
 def scan_packed(path: str, n_threads: int | None = None):
     """Native scan -> (packed uint8 (V, ceil(H/8)), n_haplotypes, pos,
-    rsid, ref, alt, vt, samples) — no unpacked matrix is materialized.
+    rsid, ref, alt, vt, samples, pgroup, profiles) — no unpacked matrix
+    is materialized.
+
+    ``pgroup`` ((V,) int16 ploidy-profile ids) and ``profiles``
+    ((P, n_samples) uint8 per-sample allele counts) are None for
+    all-diploid files (the dominant case); chrX/chrY scans return the
+    real arrays (profile 0 is always all-diploid).
 
     ``n_threads`` > 1 engages the BGZF block-parallel scanner (bgzip
     members inflate+parse concurrently; non-BGZF inputs fall back to the
@@ -145,7 +156,20 @@ def scan_packed(path: str, n_threads: int | None = None):
         alt = _split(lib.vp_alts(handle))
         vt = _split(lib.vp_vts(handle))
         samples = _split(lib.vp_samples(handle))
-        return packed, int(h), pos, rsid, ref, alt, vt, samples
+        n_profiles = int(lib.vp_n_profiles(handle))
+        pgroup = profiles = None
+        if n_profiles > 1:
+            profiles = np.ctypeslib.as_array(
+                lib.vp_profiles(handle), shape=(n_profiles, len(samples))
+            ).copy()
+            if v > 0:
+                pgroup = np.ctypeslib.as_array(
+                    lib.vp_pgroups(handle), shape=(v,)
+                ).copy()
+            else:
+                pgroup = np.zeros((0,), dtype=np.int16)
+        return (packed, int(h), pos, rsid, ref, alt, vt, samples,
+                pgroup, profiles)
     finally:
         lib.vp_free(handle)
 
@@ -153,7 +177,7 @@ def scan_packed(path: str, n_threads: int | None = None):
 def scan(path: str, n_threads: int | None = None):
     """Native scan -> (genotypes int8 (V, H), pos, rsid, ref, alt, vt,
     samples), matching ingest/vcf.py's record semantics."""
-    packed, h, pos, rsid, ref, alt, vt, samples = scan_packed(
+    packed, h, pos, rsid, ref, alt, vt, samples, _, _ = scan_packed(
         path, n_threads=n_threads)
     genotypes = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
     return genotypes, pos, rsid, ref, alt, vt, samples

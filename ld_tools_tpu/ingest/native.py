@@ -31,8 +31,9 @@ def scan_vcf(path: str, n_threads: int | None = None):
 def scan_vcf_packed(path: str, n_threads: int | None = None):
     """Scan a VCF natively into the bitpacked form (chromosome-scale
     safe: no unpacked matrix).  Returns (packed, n_haplotypes, pos, rsid,
-    ref, alt, vt, samples) or None when the native library is missing.
-    ``n_threads`` as in :func:`scan_vcf`.
+    ref, alt, vt, samples, pgroup, profiles) — the last two are the
+    mixed-ploidy sidecars (None for all-diploid files) — or None when
+    the native library is missing.  ``n_threads`` as in :func:`scan_vcf`.
     """
     try:
         from ld_tools_tpu.ingest import _vcfpack_ctypes

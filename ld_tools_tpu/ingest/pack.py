@@ -57,6 +57,8 @@ def write_chrom(
     samples=None,
     genotypes_packed: np.ndarray = None,
     n_haplotypes: int = None,
+    pgroup: np.ndarray = None,
+    ploidy_profiles: np.ndarray = None,
 ) -> str:
     """Write one chromosome's packed arrays; atomic via meta-last ordering.
 
@@ -64,9 +66,20 @@ def write_chrom(
     ``genotypes_packed`` (uint8 (V, ceil(H/8)) + ``n_haplotypes``) — the
     native scanner emits the packed form directly, so chromosome-scale
     ingest never materializes the unpacked matrix (30+ GB for chr1).
+
+    Mixed-ploidy chromosomes (chrX/chrY — the reference ingests them via
+    pysam's ploidy-agnostic GT tuples, prep_intgen_data.py:79-92 +
+    ld_area.py:230-235) additionally pass ``pgroup`` ((V,) int16 per-
+    variant ploidy-profile ids) and ``ploidy_profiles`` ((P, n_samples)
+    uint8 per-sample allele counts per profile).  Omitting both means
+    every sample is diploid at every variant, and no sidecar is written.
     """
     d = chrom_dir(intgen_dir_path, chrom)
     os.makedirs(d, exist_ok=True)
+    if ploidy_profiles is not None:
+        profiles = np.ascontiguousarray(ploidy_profiles, dtype=np.uint8)
+        if profiles.shape[0] == 1 and (profiles == 2).all():
+            pgroup = ploidy_profiles = None  # trivially all-diploid
     if genotypes_packed is not None:
         packed = np.ascontiguousarray(genotypes_packed, dtype=np.uint8)
         n_variants = packed.shape[0]
@@ -87,6 +100,12 @@ def write_chrom(
         "n_haplotypes": int(n_haplotypes),
         "samples": list(samples),
     }
+    if ploidy_profiles is not None:
+        np.save(
+            os.path.join(d, "pgroup.npy"),
+            np.asarray(pgroup, dtype=np.int16),
+        )
+        meta["ploidy_profiles"] = profiles.tolist()
     tmp = os.path.join(d, "meta.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)

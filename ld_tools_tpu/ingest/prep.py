@@ -138,7 +138,8 @@ def _pack_chromosome(vcf_path: str, intgen_dir_path: str, chrom: str):
     t0 = time.time()
     result = native.scan_vcf_packed(vcf_path)
     if result is not None:
-        packed, n_hap, pos, rsid, ref, alt, vt, samples = result
+        (packed, n_hap, pos, rsid, ref, alt, vt, samples,
+         pgroup, profiles) = result
     else:
         from ld_tools_tpu.ingest import vcf as vcf_mod
 
@@ -147,6 +148,11 @@ def _pack_chromosome(vcf_path: str, intgen_dir_path: str, chrom: str):
         # rows are packed as they stream so chromosome-scale ingest
         # holds ~626 B/variant, never the unpacked matrix
         gt_rows, pos_l, rsid_l, ref_l, alt_l, vt_l = [], [], [], [], [], []
+        # ploidy profiles interned by per-sample allele-count vector;
+        # profile 0 is always the all-diploid one (chrX PAR / autosomes)
+        profile_ids = {b"": 0}
+        profile_rows = [np.full(len(samples), 2, dtype=np.uint8)]
+        pgroup_l = []
         for rec in vcf_mod.iter_records(vcf_path):
             gt_rows.append(np.packbits(rec.genotypes))
             pos_l.append(rec.pos)
@@ -154,15 +160,27 @@ def _pack_chromosome(vcf_path: str, intgen_dir_path: str, chrom: str):
             ref_l.append(rec.ref)
             alt_l.append(",".join(rec.alts))
             vt_l.append(",".join(rec.vt))
+            key = b"" if rec.ploidy is None else rec.ploidy.tobytes()
+            gid = profile_ids.get(key)
+            if gid is None:
+                gid = len(profile_rows)
+                profile_ids[key] = gid
+                profile_rows.append(rec.ploidy.copy())
+            pgroup_l.append(gid)
         if gt_rows:
             packed = np.vstack(gt_rows)
         else:
             packed = np.zeros((0, (n_hap + 7) // 8), dtype=np.uint8)
         pos, rsid, ref, alt, vt = pos_l, rsid_l, ref_l, alt_l, vt_l
+        if len(profile_rows) > 1:
+            pgroup = np.asarray(pgroup_l, dtype=np.int16)
+            profiles = np.stack(profile_rows)
+        else:
+            pgroup = profiles = None
     pack.write_chrom(
         intgen_dir_path, chrom, pos=pos, rsid=rsid, ref=ref, alt=alt,
         vt=vt, samples=samples, genotypes_packed=packed,
-        n_haplotypes=n_hap,
+        n_haplotypes=n_hap, pgroup=pgroup, ploidy_profiles=profiles,
     )
     counters.add("variants_ingested", len(pos))
     counters.add("chromosomes_packed")

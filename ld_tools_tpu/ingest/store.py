@@ -40,11 +40,20 @@ class ChromData:
         self.n_variants = meta["n_variants"]
         self.n_haplotypes = meta["n_haplotypes"]
         self.samples = meta["samples"]
+        # (P, n_samples) per-sample allele counts per ploidy profile, or
+        # None when every variant is diploid (autosomes); profile ids per
+        # variant live in the pgroup sidecar (chrX/chrY,
+        # reference ld_area.py:230-235 ploidy-agnostic gather)
+        profs = meta.get("ploidy_profiles")
+        self.ploidy_profiles = (
+            None if profs is None else np.asarray(profs, dtype=np.uint8)
+        )
         self.pos = pack.read_sidecar(intgen_dir_path, chrom, "pos")
         self._rsid = None
         self._G = None
         self._packed = None
         self._row_index = None
+        self._pgroup = None
         self._ann = {}
 
     @property
@@ -135,6 +144,26 @@ class ChromData:
         stop = int(np.searchsorted(self.pos, high_bound, side="right"))
         return start, stop
 
+    @property
+    def pgroup(self) -> np.ndarray:
+        """(V,) int16 ploidy-profile id per variant (zeros if uniform)."""
+        if self._pgroup is None:
+            with self._lock:
+                if self._pgroup is None:
+                    if self.ploidy_profiles is None:
+                        self._pgroup = np.zeros(
+                            self.n_variants, dtype=np.int16
+                        )
+                    else:
+                        self._pgroup = pack.read_sidecar(
+                            self._dir, self.chrom, "pgroup"
+                        )
+        return self._pgroup
+
+    def cohort_ploidy(self, sample_names) -> "CohortPloidy":
+        """Cohort selection resolved against the ploidy profiles."""
+        return CohortPloidy(self, sample_names)
+
     def haplotype_columns(self, sample_names) -> np.ndarray:
         """Column indices for a cohort: (2i, 2i+1) per present sample.
 
@@ -153,6 +182,63 @@ class ChromData:
     def cohort_genotypes(self, sample_names) -> np.ndarray:
         """(V, 2 * n_present_samples) int8 for the cohort."""
         return self.genotypes[:, self.haplotype_columns(sample_names)]
+
+
+class CohortPloidy:
+    """Cohort column layout per ploidy profile.
+
+    The reference builds each variant's genotype list by appending
+    ``rec.samples[s]['GT']`` per cohort sample (ld_area.py:230-235) —
+    2 alleles for a diploid cell, 1 for a haploid one.  In the packed
+    store's full layout (sample i at columns 2i, 2i+1; haploid cells
+    zero-fill 2i+1), that list equals the row sliced at this class's
+    ``cols_for(profile)`` — the cohort's live columns in sample order —
+    so LD between same-profile variants is a matmul over those columns
+    and cross-profile pairs truncate to the shorter layout's prefix
+    (calc_ld.py:30-33 zip semantics).
+    """
+
+    def __init__(self, chrom_data: ChromData, sample_names):
+        self._cd = chrom_data
+        col_of = {name: i for i, name in enumerate(chrom_data.samples)}
+        idx = []
+        for name in sample_names:
+            i = col_of.get(name)
+            if i is not None:
+                idx.append(i)
+        self.sample_idx = np.asarray(idx, dtype=np.int64)
+        self._cols = {}
+
+    @property
+    def trivial(self) -> bool:
+        """True when every variant of the chromosome is all-diploid."""
+        return self._cd.ploidy_profiles is None
+
+    def groups_of(self, rows) -> np.ndarray:
+        if self.trivial:
+            return np.zeros(np.asarray(rows).shape[0], dtype=np.int16)
+        return np.asarray(self._cd.pgroup)[np.asarray(rows)]
+
+    def cols_for(self, gid: int) -> np.ndarray:
+        """Live haplotype columns of profile ``gid`` for this cohort,
+        in the reference's append order (sample-major, hapA then hapB)."""
+        gid = int(gid)
+        if gid not in self._cols:
+            if self.trivial:
+                ploidy = np.full(self.sample_idx.shape[0], 2, dtype=np.uint8)
+            else:
+                ploidy = self._cd.ploidy_profiles[gid][self.sample_idx]
+            cols = []
+            for i, s in enumerate(self.sample_idx):
+                cols.append(2 * int(s))
+                if ploidy[i] == 2:
+                    cols.append(2 * int(s) + 1)
+            self._cols[gid] = np.asarray(cols, dtype=np.int64)
+        return self._cols[gid]
+
+    def n_alleles(self, gid: int) -> int:
+        """Reference genotype-list length for a profile-``gid`` variant."""
+        return int(self.cols_for(gid).shape[0])
 
 
 class HaplotypeStore:

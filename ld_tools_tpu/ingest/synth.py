@@ -92,9 +92,24 @@ class BgzfWriter:
         self._fh.write(header + cdata + footer)
 
 
-def _genotype_line_bytes(row: np.ndarray) -> bytes:
-    """'a|b\\tc|d...' for one variant row of 2S haplotypes, vectorized."""
+def _genotype_line_bytes(row: np.ndarray, haploid=None) -> bytes:
+    """'a|b\\tc|d...' for one variant row of 2S haplotypes, vectorized.
+
+    ``haploid`` ((S,) bool) marks samples whose cell is written as the
+    single allele ``row[2*s]`` — the layout real 1000G chrX non-PAR /
+    chrY rows have for males.
+    """
     n_samples = row.shape[0] // 2
+    if haploid is not None and np.any(haploid):
+        parts = []
+        for s in range(n_samples):
+            if haploid[s]:
+                parts.append(chr(ord("0") + int(row[2 * s])))
+            else:
+                parts.append(
+                    f"{int(row[2 * s])}|{int(row[2 * s + 1])}"
+                )
+        return "\t".join(parts).encode()
     cells = np.empty((n_samples, 4), dtype=np.uint8)
     cells[:, 0] = row[0::2] + ord("0")
     cells[:, 1] = ord("|")
@@ -134,6 +149,7 @@ def write_vcf(
     pos_step: int = 1000,
     bgzf: bool = True,
     bgzf_block: int | None = None,
+    haploid_masks: np.ndarray = None,
 ) -> dict:
     """Write a phased biallelic VCF(.gz); returns {rsid: pos}.
 
@@ -142,6 +158,10 @@ def write_vcf(
     BGZF (like real 1000G files) unless ``bgzf=False`` requests plain
     single-member gzip; ``bgzf_block`` shrinks the block size to force
     records to span block/batch boundaries in tests.
+
+    ``haploid_masks`` ((V, S) bool) writes marked cells as single-allele
+    haploid genotypes (chrX non-PAR / chrY males); the corresponding
+    ``genotypes[i, 2*s+1]`` columns should be zero (they are ignored).
     """
     n_variants, n_hap = genotypes.shape
     assert n_hap == 2 * len(sample_names)
@@ -158,7 +178,11 @@ def write_vcf(
             f"{chrom}\t{int(pos[i])}\t{rsids[i]}\t{ref}\t{alt}\t100\tPASS\t"
             f"VT=SNP\tGT\t"
         ).encode()
-        lines.append((int(pos[i]), i, head + _genotype_line_bytes(genotypes[i])))
+        hap = None if haploid_masks is None else haploid_masks[i]
+        lines.append((
+            int(pos[i]), i,
+            head + _genotype_line_bytes(genotypes[i], haploid=hap),
+        ))
     for sort_pos, raw in extra_records:
         lines.append((sort_pos, len(lines), raw.encode()))
     lines.sort(key=lambda t: (t[0], t[1]))
@@ -244,3 +268,29 @@ def generate_dataset(
             rng=rng,
         )
     return out
+
+
+def make_chrx_layout(rng, n_variants: int, genders, par_bounds=(0.25, 0.75)):
+    """chrX-like genotype layout: males haploid outside the PAR bands.
+
+    Real 1000G chrX rows are diploid for everyone inside the
+    pseudoautosomal regions and haploid for males elsewhere (the
+    reference ingests whatever pysam hands it, ld_area.py:230-235).
+    Returns ``(G, haploid_masks)``: G is (V, 2S) int8 in the packed
+    store's full layout (haploid male cells carry their allele at column
+    2*s with column 2*s+1 zeroed), haploid_masks is the (V, S) bool mask
+    for write_vcf.  ``par_bounds`` are variant-index fractions marking
+    the PAR1|non-PAR|PAR2 boundaries.
+    """
+    n_samples = len(genders)
+    G = correlated_haplotypes(rng, n_variants, 2 * n_samples)
+    male = np.asarray([g == "male" for g in genders])
+    lo = int(par_bounds[0] * n_variants)
+    hi = int(par_bounds[1] * n_variants)
+    haploid_masks = np.zeros((n_variants, n_samples), dtype=bool)
+    haploid_masks[lo:hi, male] = True
+    # zero the dead second-haplotype columns of haploid cells so the
+    # full-layout matrix matches what ingest reconstructs
+    dead_cols = 2 * np.flatnonzero(male) + 1
+    G[lo:hi][:, dead_cols] = 0
+    return G, haploid_masks

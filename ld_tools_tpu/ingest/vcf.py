@@ -41,6 +41,13 @@ class VcfRecord:
     vt: tuple
     multiallelic: bool
     genotypes: np.ndarray  # (2 * n_samples,) int8, values {0, 1}
+    # per-sample allele counts (n_samples,) uint8 in {1, 2}, or None when
+    # every sample is diploid.  Haploid cells (1000G chrX non-PAR males,
+    # all of chrY) store their single allele at column 2*i of
+    # ``genotypes`` with column 2*i+1 zeroed; the reference appends the
+    # raw GT tuple per sample instead (ld_area.py:230-235), which this
+    # layout reproduces after dropping the dead columns in sample order.
+    ploidy: np.ndarray = None
 
 
 def open_vcf(path: str):
@@ -78,33 +85,56 @@ def _parse_info(info_field: str):
 _GT_DROP = frozenset((ord("|"), ord("/"), ord("\t"), ord("\n"), ord("\r")))
 
 
-def _parse_genotypes(gt_section: str, n_samples: int) -> np.ndarray:
+def _parse_genotypes(gt_section: str, n_samples: int):
     """Vectorized parse of a biallelic GT-only genotype section.
 
-    The section is ``a|b<TAB>c|d...`` (phased) — every byte is either a
-    separator or a single-digit allele.  Returns (2 * n_samples,) int8.
+    Cells are ``a|b`` (diploid, phased or ``/``-separated) or a bare
+    ``a`` (haploid — chrX non-PAR males, chrY).  Returns
+    ``(genotypes, ploidy)``: genotypes is (2 * n_samples,) int8 with
+    haploid cells at column 2*i and a zeroed column 2*i+1; ploidy is
+    (n_samples,) uint8 in {1, 2}, or None when every cell is diploid.
     """
     raw = np.frombuffer(gt_section.encode("ascii"), dtype=np.uint8)
-    keep = (
-        (raw != ord("|"))
-        & (raw != ord("/"))
-        & (raw != ord("\t"))
-        & (raw != ord("\n"))
-        & (raw != ord("\r"))
-    )
-    alleles = raw[keep]
-    if alleles.shape[0] != 2 * n_samples:
+    if raw.size and raw[-1] == ord("\r"):
+        raw = raw[:-1]
+    tabs = np.flatnonzero(raw == ord("\t"))
+    if tabs.size + 1 != n_samples:
         raise ValueError(
-            f"expected {2 * n_samples} alleles, parsed {alleles.shape[0]} "
-            "(missing or non-diploid genotypes are not supported)"
+            f"expected {n_samples} genotype cells, found {tabs.size + 1}"
         )
-    out = (alleles - ord("0")).astype(np.int8)
-    if out.min(initial=0) < 0 or out.max(initial=0) > 1:
-        bad = set(int(v) for v in np.unique(out) if v < 0 or v > 1)
+    starts = np.empty(n_samples, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = tabs + 1
+    ends = np.empty(n_samples, dtype=np.int64)
+    ends[:-1] = tabs
+    ends[-1] = raw.size
+    lens = ends - starts
+    diploid = lens == 3
+    if not np.all(diploid | (lens == 1)):
+        bad = int(np.flatnonzero(~(diploid | (lens == 1)))[0])
+        cell = raw[starts[bad]:ends[bad]].tobytes().decode("ascii", "replace")
         raise ValueError(
-            f"non-biallelic or missing allele codes in GT section: {bad}"
+            f"unsupported genotype cell {cell!r} (multiallelic or missing "
+            "alleles are not supported)"
         )
-    return out
+    a1 = raw[starts] - ord("0")
+    # second-allele byte for diploid cells; haploid cells read their own
+    # first byte (discarded below), keeping the gather in-bounds
+    a2 = raw[np.where(diploid, starts + 2, starts)] - ord("0")
+    a2 = np.where(diploid, a2, 0)
+    seps = raw[np.where(diploid, starts + 1, starts)]
+    bad_sep = diploid & (seps != ord("|")) & (seps != ord("/"))
+    # allele bytes are uint8: '.' and other non-digits wrap past 1
+    if bad_sep.any() or (a1 > 1).any() or (a2 > 1).any():
+        raise ValueError(
+            "non-biallelic or missing allele codes in GT section"
+        )
+    out = np.empty(2 * n_samples, dtype=np.int8)
+    out[0::2] = a1
+    out[1::2] = a2
+    if diploid.all():
+        return out, None
+    return out, np.where(diploid, 2, 1).astype(np.uint8)
 
 
 def iter_records(path: str, with_genotypes: bool = True):
@@ -140,19 +170,19 @@ def iter_records(path: str, with_genotypes: bool = True):
                 continue
             if pending is not None and not pending_dup:
                 yield pending
-            gts = None
+            gts = ploidy = None
             if with_genotypes:
                 fmt = fields[8]
                 if fmt.split(":", 1)[0] != "GT":
                     raise ValueError(f"{path}: FORMAT must lead with GT, got {fmt}")
                 if fmt == "GT":
-                    gts = _parse_genotypes(fields[9], n_samples)
+                    gts, ploidy = _parse_genotypes(fields[9], n_samples)
                 else:
                     # rare general case: per-sample fields carry extras
                     gt_first = "\t".join(
                         f.split(":", 1)[0] for f in fields[9].split("\t")
                     )
-                    gts = _parse_genotypes(gt_first, n_samples)
+                    gts, ploidy = _parse_genotypes(gt_first, n_samples)
             pending = VcfRecord(
                 chrom=chrom,
                 pos=pos,
@@ -162,6 +192,7 @@ def iter_records(path: str, with_genotypes: bool = True):
                 vt=vt,
                 multiallelic=multiallelic,
                 genotypes=gts,
+                ploidy=ploidy,
             )
             pending_dup = False
     if pending is not None and not pending_dup:

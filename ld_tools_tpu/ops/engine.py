@@ -9,6 +9,7 @@ and ops/ld_math.py and is used by the benchmarks and the array API.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -165,3 +166,130 @@ def exact_all_pairs(G: np.ndarray, block: int = 4096) -> ExactLD:
             else:
                 c_ab[j : j + block, i : i + block] = cb.T
     return exact_ld_from_counts(c_ab, c1_full, c1_full, h)
+
+
+@dataclasses.dataclass
+class MixedExactLD:
+    """Exact LD for row sets spanning ploidy groups (chrX/chrY).
+
+    Unlike ExactLD, the alt-allele frequencies are PAIR-dependent
+    matrices: the reference divides each variant's alt count by the pair
+    walk length ``htypes_quan = min(len1, len2)`` (calc_ld.py:37-44), so
+    a PAR variant's reported frequency changes with the opponent's
+    region.  ``own_freq1``/``own_freq2`` are the pair-independent
+    own-list frequencies (alt count / own list length) the reference
+    uses for the ld_area query-annotation row (ld_area.py:188-189).
+    """
+
+    r_square: np.ndarray          # (V1, V2) f64
+    d_prime: np.ndarray
+    p1: np.ndarray                # (V1, V2) pair-dependent alt freqs
+    p2: np.ndarray                # (V1, V2)
+    d_prime_is_int_zero: np.ndarray
+    r_square_is_int_zero: np.ndarray
+    own_freq1: np.ndarray         # (V1,)
+    own_freq2: np.ndarray         # (V2,)
+
+    def r_square_rounded(self):
+        from ld_tools_tpu.ops.exact import _rounded_object_array
+
+        return _rounded_object_array(
+            self.r_square, self.r_square_is_int_zero
+        )
+
+    def d_prime_rounded(self):
+        from ld_tools_tpu.ops.exact import _rounded_object_array
+
+        return _rounded_object_array(self.d_prime, self.d_prime_is_int_zero)
+
+    def pair(self, i: int, j: int) -> dict:
+        """Reference calc_ld dict for pair (i, j), values AND types."""
+        from ld_tools_tpu.ops.exact import _rounded_scalar
+
+        return {
+            "r_square": _rounded_scalar(
+                self.r_square[i, j], self.r_square_is_int_zero[i, j]
+            ),
+            "d_prime": _rounded_scalar(
+                self.d_prime[i, j], self.d_prime_is_int_zero[i, j]
+            ),
+            "var_1_alt_freq": round(float(self.p1[i, j]), 4),
+            "var_2_alt_freq": round(float(self.p2[i, j]), 4),
+        }
+
+
+def mixed_pair_ld_async(chrom_data, cohort_ploidy, rows1, rows2):
+    """Dispatch LD for two variant-row sets that may span ploidy groups.
+
+    Rows are partitioned by ploidy-profile id; each (group, group) block
+    is one device count matmul over the two profiles' cohort layouts
+    truncated to the shorter one (the reference's zip semantics,
+    calc_ld.py:30-33), finished bit-exactly with per-side list lengths.
+    Returns ``finalize() -> MixedExactLD``; all blocks are dispatched
+    before any is awaited, so device compute overlaps host assembly.
+    """
+    rows1 = np.asarray(rows1, dtype=np.int64)
+    rows2 = np.asarray(rows2, dtype=np.int64)
+    g1 = cohort_ploidy.groups_of(rows1)
+    g2 = cohort_ploidy.groups_of(rows2)
+
+    def side(rows, groups):
+        out = []
+        for gid in np.unique(groups):
+            idx = np.flatnonzero(groups == gid)
+            C = chrom_data.genotype_rows(rows[idx])[
+                :, cohort_ploidy.cols_for(gid)
+            ]
+            out.append((int(gid), idx, C, C.sum(axis=1, dtype=np.int64)))
+        return out
+
+    side1 = side(rows1, g1)
+    side2 = side(rows2, g2)
+
+    jobs = []
+    for gid1, idx1, c_1, full1 in side1:
+        n1 = cohort_ploidy.n_alleles(gid1)
+        for gid2, idx2, c_2, full2 in side2:
+            n2 = cohort_ploidy.n_alleles(gid2)
+            m = min(n1, n2)
+            fin = pair_counts_async(c_1[:, :m], c_2[:, :m])
+            jobs.append((idx1, idx2, full1, full2, n1, n2, m, fin))
+
+    def finalize() -> MixedExactLD:
+        from ld_tools_tpu.ops.exact import exact_ld_from_counts
+
+        v1, v2 = rows1.shape[0], rows2.shape[0]
+        shape = (v1, v2)
+        r2 = np.zeros(shape)
+        dp = np.zeros(shape)
+        p1 = np.zeros(shape)
+        p2 = np.zeros(shape)
+        r2_iz = np.zeros(shape, dtype=bool)
+        dp_iz = np.zeros(shape, dtype=bool)
+        own1 = np.zeros(v1)
+        own2 = np.zeros(v2)
+        for idx1, idx2, full1, full2, n1, n2, m, fin in jobs:
+            c_ab, _, _ = fin()
+            ex = exact_ld_from_counts(
+                c_ab, full1, full2, m, len1=n1, len2=n2
+            )
+            at = np.ix_(idx1, idx2)
+            r2[at] = ex.r_square
+            dp[at] = ex.d_prime
+            r2_iz[at] = ex.r_square_is_int_zero
+            dp_iz[at] = ex.d_prime_is_int_zero
+            p1[at] = np.broadcast_to(ex.p1[:, None], c_ab.shape)
+            p2[at] = np.broadcast_to(ex.p2[None, :], c_ab.shape)
+            own1[idx1] = full1 / float(n1)
+            own2[idx2] = full2 / float(n2)
+        return MixedExactLD(
+            r_square=r2, d_prime=dp, p1=p1, p2=p2,
+            d_prime_is_int_zero=dp_iz, r_square_is_int_zero=r2_iz,
+            own_freq1=own1, own_freq2=own2,
+        )
+
+    return finalize
+
+
+def mixed_pair_ld(chrom_data, cohort_ploidy, rows1, rows2) -> MixedExactLD:
+    return mixed_pair_ld_async(chrom_data, cohort_ploidy, rows1, rows2)()

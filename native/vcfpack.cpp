@@ -68,6 +68,10 @@ struct Record {
   std::string chrom, rsid, ref, alt, vt;
   int64_t pos = 0;
   std::vector<uint8_t> packed;
+  // per-sample allele counts in {1, 2}; EMPTY means all-diploid (the
+  // dominant case — autosomes and chrX PAR).  Haploid cells pack their
+  // single allele at bit 2*sample with bit 2*sample+1 left zero.
+  std::vector<uint8_t> ploidy;
 };
 
 // Fast path for the dominant layout: FORMAT == "GT" and every cell is
@@ -110,26 +114,50 @@ bool parse_gt_fast(const char* g, const char* end, int64_t n_haplotypes,
   return true;
 }
 
-// Generic genotype parse (FORMAT with extra fields, '\r', odd spacing).
+// Generic genotype parse: cell-aware (one cell per sample, split on
+// tabs), accepting diploid "a|b" / "a/b" and haploid "a" cells — the
+// mixed-ploidy layouts real 1000G chrX/chrY rows have (the reference
+// ingests these through pysam's ploidy-agnostic GT tuples,
+// ld_area.py:230-235).  Handles FORMAT extras ('GT:...' cells cut at the
+// first ':').  Fills per-sample allele counts into *ploidy (sized
+// n_samples); callers collapse the all-diploid case to an empty vector.
 // Returns false and sets *err on malformed input.
 bool parse_gt_generic(const char* g, const char* end, bool gt_only,
-                      int64_t n_haplotypes, uint8_t* out_row,
+                      int64_t n_samples, uint8_t* out_row,
+                      std::vector<uint8_t>* ploidy,
                       const std::string& rsid, std::string* err) {
-  int64_t allele_idx = 0;
-  if (gt_only) {
-    for (const char* c = g; c < end; ++c) {
-      char ch = *c;
+  ploidy->assign(static_cast<size_t>(n_samples), 0);
+  if (n_samples == 0) return g >= end;
+  int64_t sample = 0;
+  const char* c = g;
+  while (true) {
+    if (sample >= n_samples) {
+      *err = "too many genotype cells at " + rsid;
+      return false;
+    }
+    const char* tab = static_cast<const char*>(
+        memchr(c, '\t', static_cast<size_t>(end - c)));
+    const char* cell_end = tab != nullptr ? tab : end;
+    const char* gt_end = cell_end;
+    if (!gt_only) {
+      const char* colon = static_cast<const char*>(
+          memchr(c, ':', static_cast<size_t>(cell_end - c)));
+      if (colon != nullptr) gt_end = colon;
+    }
+    int k = 0;
+    for (const char* q = c; q < gt_end; ++q) {
+      char ch = *q;
       if (ch == '0' || ch == '1') {
-        if (allele_idx >= n_haplotypes) {
-          *err = "too many alleles at " + rsid;
+        if (k >= 2) {
+          *err = "more than two alleles in a cell at " + rsid;
           return false;
         }
         if (ch == '1') {
-          out_row[allele_idx >> 3] |=
-              static_cast<uint8_t>(0x80u >> (allele_idx & 7));
+          int64_t bit = 2 * sample + k;
+          out_row[bit >> 3] |= static_cast<uint8_t>(0x80u >> (bit & 7));
         }
-        ++allele_idx;
-      } else if (ch == '|' || ch == '/' || ch == '\t') {
+        ++k;
+      } else if (ch == '|' || ch == '/') {
         // separators
       } else {
         *err = "unsupported genotype char '" + std::string(1, ch) +
@@ -137,39 +165,17 @@ bool parse_gt_generic(const char* g, const char* end, bool gt_only,
         return false;
       }
     }
-  } else {
-    // FORMAT has extra per-sample fields: take the leading GT of each.
-    const char* c = g;
-    while (c < end) {
-      const char* tab = static_cast<const char*>(
-          memchr(c, '\t', static_cast<size_t>(end - c)));
-      const char* cell_end = tab != nullptr ? tab : end;
-      const char* colon = static_cast<const char*>(
-          memchr(c, ':', static_cast<size_t>(cell_end - c)));
-      const char* gt_end = colon != nullptr ? colon : cell_end;
-      for (const char* q = c; q < gt_end; ++q) {
-        char ch = *q;
-        if (ch == '0' || ch == '1') {
-          if (allele_idx >= n_haplotypes) {
-            *err = "too many alleles at " + rsid;
-            return false;
-          }
-          if (ch == '1') {
-            out_row[allele_idx >> 3] |=
-                static_cast<uint8_t>(0x80u >> (allele_idx & 7));
-          }
-          ++allele_idx;
-        } else if (ch == '|' || ch == '/') {
-        } else {
-          *err = "unsupported genotype char in " + rsid;
-          return false;
-        }
-      }
-      c = cell_end + 1;
+    if (k == 0) {
+      *err = "missing genotype at " + rsid;
+      return false;
     }
+    (*ploidy)[static_cast<size_t>(sample)] = static_cast<uint8_t>(k);
+    ++sample;
+    if (tab == nullptr) break;
+    c = tab + 1;
   }
-  if (allele_idx != n_haplotypes) {
-    *err = "allele count mismatch at " + rsid;
+  if (sample != n_samples) {
+    *err = "genotype cell count mismatch at " + rsid;
     return false;
   }
   return true;
@@ -246,16 +252,21 @@ LineVerdict parse_data_line(const char* line, size_t len,
   out->vt = std::move(vt);
   out->pos = pos;
   out->packed.assign(static_cast<size_t>(row_bytes), 0);
+  out->ploidy.clear();
 
   const char* g = line + gt_start;
   const char* end = line + len;
   if (gt_only && parse_gt_fast(g, end, n_haplotypes, out->packed.data())) {
     return LineVerdict::kKept;
   }
-  return parse_gt_generic(g, end, gt_only, n_haplotypes, out->packed.data(),
-                          out->rsid, err)
-             ? LineVerdict::kKept
-             : LineVerdict::kError;
+  if (!parse_gt_generic(g, end, gt_only, n_haplotypes / 2,
+                        out->packed.data(), &out->ploidy, out->rsid, err)) {
+    return LineVerdict::kError;
+  }
+  bool all_diploid = true;
+  for (uint8_t p : out->ploidy) all_diploid &= (p == 2);
+  if (all_diploid) out->ploidy.clear();
+  return LineVerdict::kKept;
 }
 
 }  // namespace
@@ -274,6 +285,14 @@ struct VpResult {
   std::string vts;
   std::string samples;  // '\n'-joined
   std::string error;
+  // Mixed-ploidy support: per-variant ploidy-profile id (one int16 per
+  // emitted variant) and the interned profiles, flattened row-major
+  // (n_profiles * n_samples uint8 allele counts).  Profile 0 is always
+  // the all-diploid profile; n_profiles == 1 means the whole file is
+  // diploid and callers can ignore both arrays.
+  int64_t n_profiles = 1;
+  std::vector<int16_t> pgroups;
+  std::vector<uint8_t> profiles;
 };
 
 }  // extern "C"
@@ -317,11 +336,28 @@ class DedupEmitter {
     r_->alts += '\n';
     r_->vts += pending_.vt;
     r_->vts += '\n';
+    r_->pgroups.push_back(profile_id());
     ++r_->n_variants;
+  }
+
+  // Intern the pending record's ploidy profile; empty vector = profile 0
+  // (all-diploid).  Runs only on the single-threaded emit path (scan
+  // loop / MT merge coordinator), so a plain map is fine.
+  int16_t profile_id() {
+    if (pending_.ploidy.empty()) return 0;
+    auto it = profile_ids_.find(pending_.ploidy);
+    if (it != profile_ids_.end()) return it->second;
+    int16_t gid = static_cast<int16_t>(r_->n_profiles);
+    profile_ids_.emplace(pending_.ploidy, gid);
+    r_->profiles.insert(r_->profiles.end(), pending_.ploidy.begin(),
+                        pending_.ploidy.end());
+    ++r_->n_profiles;
+    return gid;
   }
 
   VpResult* r_;
   Record pending_;
+  std::map<std::vector<uint8_t>, int16_t> profile_ids_;
   bool valid_ = false;
   bool pending_dup_ = false;
 };
@@ -344,6 +380,7 @@ void parse_chrom_header(const char* line, size_t len, VpResult* r) {
   }
   r->n_haplotypes = 2 * n_samples;
   r->row_bytes = (r->n_haplotypes + 7) / 8;
+  r->profiles.assign(static_cast<size_t>(n_samples), 2);  // profile 0
 }
 
 // ---------------------------------------------------------------------------
@@ -901,6 +938,7 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
     r->refs.clear();
     r->alts.clear();
     r->vts.clear();
+    r->pgroups.clear();
   }
 }
 
@@ -931,6 +969,9 @@ const char* vp_alts(VpResult* r) { return r->alts.c_str(); }
 const char* vp_vts(VpResult* r) { return r->vts.c_str(); }
 const char* vp_samples(VpResult* r) { return r->samples.c_str(); }
 const char* vp_error(VpResult* r) { return r->error.c_str(); }
+int64_t vp_n_profiles(VpResult* r) { return r->n_profiles; }
+const uint8_t* vp_profiles(VpResult* r) { return r->profiles.data(); }
+const int16_t* vp_pgroups(VpResult* r) { return r->pgroups.data(); }
 void vp_free(VpResult* r) { delete r; }
 
 }  // extern "C"

@@ -306,10 +306,38 @@ def test_native_ragged_genotype_row_errors(tmp_path, built):
         native.scan(path)
 
 
-def test_native_haploid_and_missing_alleles_error(tmp_path, built):
-    for name, gts in (("hap", ("0", "1|1")), ("miss", (".|1", "1|1")),
-                      ("code", ("0|2", "1|1"))):
+def test_native_missing_and_bad_allele_codes_error(tmp_path, built):
+    for name, gts in (("miss", (".|1", "1|1")), ("code", ("0|2", "1|1")),
+                      ("empty", ("", "1|1")), ("tri", ("0|1|1", "1|1"))):
         path = str(tmp_path / f"{name}.vcf.gz")
         _write_gz_text(path, _HDR + [_rec(100, "rs1", *gts)])
         with pytest.raises(native.NativeScanError):
             native.scan(path)
+
+
+def test_native_haploid_cells_parse_with_ploidy_profiles(tmp_path, built):
+    """chrX/chrY-style mixed ploidy: haploid cells pack at column 2*s with
+    column 2*s+1 zeroed, and per-variant ploidy profiles are interned
+    (the reference ingests these via pysam's ploidy-agnostic GT tuples,
+    ld_area.py:230-235)."""
+    from ld_tools_tpu.ingest import _vcfpack_ctypes as ctbind
+
+    path = str(tmp_path / "mix.vcf.gz")
+    _write_gz_text(
+        path,
+        _HDR + [
+            _rec(100, "rs1", "0|1", "1|1"),   # all diploid -> profile 0
+            _rec(200, "rs2", "1", "0|1"),     # sample 0 haploid
+            _rec(300, "rs3", "1", "0|1"),     # same profile as rs2
+            _rec(400, "rs4", "0", "1"),       # both haploid
+        ],
+    )
+    for n_threads in (1, 4):
+        (packed, h, pos, rsid, ref, alt, vt, samples, pgroup,
+         profiles) = ctbind.scan_packed(path, n_threads=n_threads)
+        g = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
+        np.testing.assert_array_equal(
+            g, [[0, 1, 1, 1], [1, 0, 0, 1], [1, 0, 0, 1], [0, 0, 1, 0]]
+        )
+        assert profiles.tolist() == [[2, 2], [1, 2], [1, 1]]
+        assert pgroup.tolist() == [0, 1, 1, 2]
