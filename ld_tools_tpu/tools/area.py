@@ -20,7 +20,7 @@ import numpy as np
 
 from ld_tools_tpu.ingest import create_src_dict
 from ld_tools_tpu.io.writers import AreaResultWriter, makedirs
-from ld_tools_tpu.ops.engine import pair_counts_async
+from ld_tools_tpu.ops.engine import mixed_pair_ld_async, pair_counts_async
 from ld_tools_tpu.ops.exact import exact_ld_from_counts
 from ld_tools_tpu.tools.common import DataConfig
 from ld_tools_tpu.utils.logging import get_logger
@@ -121,9 +121,19 @@ class AreaRunner:
     ) -> int:
         cfg = self.config
         cd = self._store.chrom(chrom)
-        cols = cd.haplotype_columns(self.data.sample_names)
-        G = cd.genotypes[:, cols]
-        n_hap = G.shape[1]
+        cp = cd.cohort_ploidy(self.data.sample_names)
+        chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
+        mixed = chrom_groups.size > 1
+        if mixed:
+            G = None  # row slices are fetched per group by the engine
+        else:
+            # single ploidy profile (autosomes; also all-haploid chrY):
+            # slice the profile's live cohort columns once — identical to
+            # the original diploid path when the profile is all-2
+            gid = int(chrom_groups[0]) if chrom_groups.size else 0
+            cols = cp.cols_for(gid)
+            G = cd.genotypes[:, cols]
+            n_hap = G.shape[1]
         pos = cd.pos
         rsid = cd.rsid
         ref_ann = cd.annotation("ref")
@@ -181,17 +191,26 @@ class AreaRunner:
         # two-slot pipeline: group k+1's device counts are dispatched
         # (jax dispatch is async) before group k's exact f64 finish and
         # per-query file writes run on the host
+        def dispatch(qis, s, t):
+            if mixed:
+                return mixed_pair_ld_async(
+                    cd, cp, q_rows[qis], np.arange(s, t)
+                )
+            return pair_counts_async(G[q_rows[qis]], G[s:t])
+
         pending = None
         if groups:
-            qis0, s0, t0 = groups[0]
-            pending = pair_counts_async(G[q_rows[qis0]], G[s0:t0])
+            pending = dispatch(*groups[0])
         for gi, (qis, c_start, c_stop) in enumerate(groups):
             grp = q_rows[qis]
-            c_ab, c1q, c1cols = pending()
+            finished = pending()
             if gi + 1 < len(groups):
-                qis_n, s_n, t_n = groups[gi + 1]
-                pending = pair_counts_async(G[q_rows[qis_n]], G[s_n:t_n])
-            exacts = exact_ld_from_counts(c_ab, c1q, c1cols, n_hap)
+                pending = dispatch(*groups[gi + 1])
+            if mixed:
+                exacts = finished
+            else:
+                c_ab, c1q, c1cols = finished
+                exacts = exact_ld_from_counts(c_ab, c1q, c1cols, n_hap)
             r2_all = exacts.r_square_rounded()
             dp_all = exacts.d_prime_rounded()
             written += self._write_group(
@@ -215,8 +234,16 @@ class AreaRunner:
             start, stop = windows[qi]
             r2_win = r2_all[gi, start - c_start : stop - c_start]
             dp_win = dp_all[gi, start - c_start : stop - c_start]
-            p2_win = exacts.p2[start - c_start : stop - c_start]
-            p_q = exacts.p1[gi]
+            if exacts.p2.ndim == 2:
+                # mixed-ploidy chromosome: opponent freqs are pair-
+                # dependent (reference divides by htypes_quan of the
+                # pair, calc_ld.py:37-44), but the query annotation row
+                # uses the query's OWN list length (ld_area.py:188-189)
+                p2_win = exacts.p2[gi, start - c_start : stop - c_start]
+                p_q = exacts.own_freq1[gi]
+            else:
+                p2_win = exacts.p2[start - c_start : stop - c_start]
+                p_q = exacts.p1[gi]
 
             query_alt_freq = round(float(p_q), 4)
             query_ann = [

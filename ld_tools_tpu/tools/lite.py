@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from tabulate import tabulate
 
-from ld_tools_tpu.ops.engine import exact_pair_ld
+from ld_tools_tpu.ops.engine import mixed_pair_ld
 from ld_tools_tpu.tools.common import (
     DataConfig,
     NotInIntgenConvDbError,
@@ -42,9 +42,12 @@ def run(args) -> str:
     var_1_alleles, var_1_type = variant_annotations(chrom_data, row_1)
     var_2_alleles, var_2_type = variant_annotations(chrom_data, row_2)
 
-    cols = chrom_data.haplotype_columns(config.sample_names)
-    G = chrom_data.genotype_rows([row_1, row_2])[:, cols]
-    exact = exact_pair_ld(G[:1], G[1:])
+    # Ploidy-aware pair LD: on autosomes this is the plain cohort-column
+    # count matmul; on chrX/chrY the two variants' profiles may differ
+    # (PAR vs non-PAR) and the mixed engine truncates to the shorter
+    # genotype list exactly like the reference (calc_ld.py:30-33).
+    cp = chrom_data.cohort_ploidy(config.sample_names)
+    exact = mixed_pair_ld(chrom_data, cp, [row_1], [row_2])
     trg_vals = exact.pair(0, 0)
 
     # Nested fancy_grid layout of reference ld_lite.py:148-159: the LD

@@ -14,10 +14,12 @@ from __future__ import annotations
 import dataclasses
 import os
 
+import numpy as np
+
 from ld_tools_tpu.ingest import create_src_dict
 from ld_tools_tpu.io import heatmap as heatmap_io
 from ld_tools_tpu.io.writers import makedirs, write_triangle_tsv
-from ld_tools_tpu.ops.engine import exact_all_pairs
+from ld_tools_tpu.ops.engine import exact_all_pairs, mixed_pair_ld
 from ld_tools_tpu.tools.common import DataConfig, variant_annotations
 from ld_tools_tpu.utils.logging import get_logger
 from ld_tools_tpu.utils.profiling import maybe_trace
@@ -126,8 +128,18 @@ class TriangleRunner:
         if vars_quan < 2:
             return
 
-        cols = cd.haplotype_columns(self.data.sample_names)
-        G = cd.genotype_rows(rows)[:, cols]
+        cp = cd.cohort_ploidy(self.data.sample_names)
+        row_groups = cp.groups_of(rows)
+        mixed = np.unique(row_groups).size > 1
+        if mixed:
+            # chrX sets straddling the PAR boundary: the grouped engine
+            # partitions rows by ploidy profile (tools/area.py-style)
+            G = None
+            mixed_ctx = (cd, cp, np.asarray(rows, dtype=np.int64))
+        else:
+            gid = int(row_groups[0]) if len(rows) else 0
+            G = cd.genotype_rows(rows)[:, cp.cols_for(gid)]
+            mixed_ctx = None
 
         if cfg.matrix_type == "table":
             # Table-only runs stream row blocks through the device and
@@ -135,11 +147,15 @@ class TriangleRunner:
             # that scales to 10k+ variant TSVs (BASELINE metric #2).
             self._write_table_streamed(
                 G, chrom, rs_ids_srtd, poss_srtd, src_file_base,
-                trg_dir_path,
+                trg_dir_path, mixed_ctx=mixed_ctx,
             )
             return
 
-        exact = exact_all_pairs(G)
+        exact = (
+            mixed_pair_ld(cd, cp, mixed_ctx[2], mixed_ctx[2])
+            if mixed
+            else exact_all_pairs(G)
+        )
         measure_vals = (
             exact.r_square_rounded()
             if cfg.ld_measure == "r_square"
@@ -253,7 +269,11 @@ def _hovertext_matrix(self, exact, cd, rows, rs_ids_srtd, poss_srtd):
 
     n = len(rs_ids_srtd)
     ann = [variant_annotations(cd, r) for r in rows]
-    freqs = [round(float(v), 4) for v in exact.p1]
+    mixed = exact.p1.ndim == 2
+    if not mixed:
+        freqs = [round(float(v), 4) for v in exact.p1]
+        x_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}<br>\n" for k in range(n)]
+        y_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}\n" for k in range(n)]
     poss_arr = np.asarray(poss_srtd, dtype=np.int64)
     # per-variant fragments; x = column variant, y = row variant
     x_pos = [f"{rs_ids_srtd[k]}.hg38_pos: {poss_srtd[k]}<br>\n" for k in range(n)]
@@ -262,8 +282,6 @@ def _hovertext_matrix(self, exact, cd, rows, rs_ids_srtd, poss_srtd):
     y_all = [f"{rs_ids_srtd[k]}.alleles: {ann[k][0]}<br><br>\n" for k in range(n)]
     x_typ = [f"{rs_ids_srtd[k]}.type: {ann[k][1]}<br>\n" for k in range(n)]
     y_typ = [f"{rs_ids_srtd[k]}.type: {ann[k][1]}<br><br>\n" for k in range(n)]
-    x_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}<br>\n" for k in range(n)]
-    y_frq = [f"{rs_ids_srtd[k]}.alt_freq: {freqs[k]}\n" for k in range(n)]
 
     info = [[0] * n for _ in range(n)]
     join = "".join
@@ -275,20 +293,36 @@ def _hovertext_matrix(self, exact, cd, rows, rs_ids_srtd, poss_srtd):
             exact.d_prime[i, :i], exact.d_prime_is_int_zero[i, :i]
         )
         dist_s = list(map(str, np.abs(poss_arr[:i] - poss_arr[i]).tolist()))
-        yp, ya, yt, yf = y_pos[i], y_all[i], y_typ[i], y_frq[i]
+        if mixed:
+            # pair-dependent freqs on mixed-ploidy chromosomes: the
+            # reference divides each side's alt count by the pair's
+            # htypes_quan (calc_ld.py:37-44), so the hover freq of a
+            # variant varies with its opponent's ploidy region
+            p2_s = format_rounded(exact.p2[i, :i])
+            p1_s = format_rounded(exact.p1[i, :i])
+            x_frq_row = [
+                f"{rs_ids_srtd[j]}.alt_freq: {p2_s[j]}<br>\n"
+                for j in range(i)
+            ]
+            y_frq_row = [
+                f"{rs_ids_srtd[i]}.alt_freq: {p1_s[j]}\n" for j in range(i)
+            ]
+        yp, ya, yt = y_pos[i], y_all[i], y_typ[i]
         row = info[i]
         for j in range(i):
+            xf = x_frq_row[j] if mixed else x_frq[j]
+            yf = y_frq_row[j] if mixed else y_frq[i]
             row[j] = join((
                 "\nr2: ", r2_s[j], "<br>\nD': ", dp_s[j],
                 "<br>\nabs_dist: ", dist_s[j], "<br><br>\n",
-                x_pos[j], yp, x_all[j], ya, x_typ[j], yt, x_frq[j], yf,
+                x_pos[j], yp, x_all[j], ya, x_typ[j], yt, xf, yf,
             ))
     return info
 
 
 def _write_table_streamed(
     self, G, chrom, rs_ids_srtd, poss_srtd, src_file_base, trg_dir_path,
-    row_block: int = 2048,
+    row_block: int = 2048, mixed_ctx=None,
 ):
     """Streamed triangle TSV: row blocks of counts -> exact f64 finish ->
     vectorized cell strings -> write.
@@ -299,12 +333,19 @@ def _write_table_streamed(
     :223-230): cells above/on the diagonal, below-threshold cells, and
     monomorphic int-0 sentinels all print '0'; everything else prints
     str(round(v, 4)).
+
+    ``mixed_ctx`` = (chrom_data, cohort_ploidy, rows) switches each
+    block to the grouped mixed-ploidy engine (chrX sets straddling the
+    PAR boundary) with identical streaming structure.
     """
     import os
 
     import numpy as np
 
-    from ld_tools_tpu.ops.engine import pair_counts_async
+    from ld_tools_tpu.ops.engine import (
+        mixed_pair_ld_async,
+        pair_counts_async,
+    )
     from ld_tools_tpu.ops.exact import (
         exact_ld_from_counts,
         format_rounded,
@@ -313,16 +354,34 @@ def _write_table_streamed(
 
     cfg = self.config
     n = len(rs_ids_srtd)
-    n_hap = G.shape[1]
     trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
     path = os.path.join(trg_dir_path, trg_file_base + ".tsv")
     tab = "\t"
     poss_str = [str(p) for p in poss_srtd]
     starts = list(range(0, n, row_block))
+
+    if mixed_ctx is not None:
+        cd, cp, rows_arr = mixed_ctx
+
+        def dispatch(r0, r1):
+            return mixed_pair_ld_async(cd, cp, rows_arr[r0:r1], rows_arr[:r1])
+
+        def finish(fin):
+            return fin()
+    else:
+        n_hap = G.shape[1]
+
+        def dispatch(r0, r1):
+            return pair_counts_async(G[r0:r1], G[:r1])
+
+        def finish(fin):
+            c_ab, c1r, c1c = fin()
+            return exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+
     # two-slot pipeline: block k+1's device counts are in flight (jax
     # dispatch is async) while block k's exact finish + cell formatting
     # + write run on the host
-    pending = pair_counts_async(G[: min(row_block, n)], G[: min(row_block, n)])
+    pending = dispatch(0, min(row_block, n))
     with open(path, "w") as fh:
         fh.write(
             f"##General\tinfo:\t{cfg.ld_measure}\tchr{chrom}\t"
@@ -335,12 +394,12 @@ def _write_table_streamed(
             r1 = min(r0 + row_block, n)
             # columns beyond the block's last row are all '0' (strict
             # lower triangle) — never computed
-            c_ab, c1r, c1c = pending()
+            fin = pending
             if bi + 1 < len(starts):
                 nr0 = starts[bi + 1]
                 nr1 = min(nr0 + row_block, n)
-                pending = pair_counts_async(G[nr0:nr1], G[:nr1])
-            exact = exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+                pending = dispatch(nr0, nr1)
+            exact = finish(fin)
             vals = (
                 exact.r_square
                 if cfg.ld_measure == "r_square"
