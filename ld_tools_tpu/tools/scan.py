@@ -72,34 +72,209 @@ class ScanConfig:
         return mesh if mesh.size > 1 else None
 
 
+def _scan_mixed_chromosome(cd, cp, config: ScanConfig):
+    """Mixed-ploidy (chrX) scan: segment the variant axis into maximal
+    runs of one ploidy profile, triangular-scan each run with its own
+    live-column layout, and sweep cross-run rectangles in dense blocks
+    through the grouped exact path (reference zip-truncation semantics,
+    calc_ld.py:30-33).  Hits are merged and sorted by (i, j).
+    """
+    import numpy as np
+
+    from ld_tools_tpu.ingest import pack
+    from ld_tools_tpu.ops.engine import pair_counts_async
+    from ld_tools_tpu.ops.exact import exact_ld_from_counts, round4
+    from ld_tools_tpu.ops.ld_stream import ScanHits
+
+    pos = np.asarray(cd.pos)
+    pgroup = cp.groups_of(np.arange(cd.n_variants))
+    cuts = np.flatnonzero(np.diff(pgroup)) + 1
+    starts = np.concatenate([[0], cuts]).astype(np.int64)
+    stops = np.concatenate([cuts, [cd.n_variants]]).astype(np.int64)
+    segs = list(zip(starts, stops))
+    log.info("chr%s spans %d ploidy segments; scanning per segment",
+             cd.chrom, len(segs))
+
+    parts = []
+
+    def compact_seg(s0, s1, gid):
+        return pack.pack_columns(
+            np.ascontiguousarray(cd.packed[s0:s1]),
+            cp.cols_for(gid), cd.n_haplotypes,
+        )
+
+    for s0, s1 in segs:
+        if s1 - s0 < 2:
+            continue
+        gid = int(pgroup[s0])
+        hits = stream_threshold_scan(
+            G_packed=compact_seg(s0, s1, gid),
+            n_haplotypes=cp.n_alleles(gid),
+            pos=pos[s0:s1],
+            measure=config.ld_measure,
+            thres=config.ld_low_thres,
+            max_dist=config.max_dist,
+            use_pallas=config.resolve_use_pallas(),
+            exact=True,
+            checkpoint_dir=None,
+            mesh=config.mesh(),
+        )
+        parts.append((hits.i + s0, hits.j + s0, hits.r_square,
+                      hits.d_prime, hits.r_square_is_int_zero,
+                      hits.d_prime_is_int_zero))
+
+    # cross-segment rectangles (i from the later segment, j from the
+    # earlier one, preserving i > j), restricted to the max_dist corner
+    block = 2048
+    for bi in range(1, len(segs)):
+        gid_i = int(pgroup[segs[bi][0]])
+        n_i = cp.n_alleles(gid_i)
+        for ai in range(bi):
+            b0, b1 = segs[bi]
+            a0, a1 = segs[ai]
+            gid_j = int(pgroup[a0])
+            n_j = cp.n_alleles(gid_j)
+            if config.max_dist is not None:
+                # j rows must reach within max_dist of the first i row,
+                # and i rows within max_dist of the last j row
+                a0 = a0 + int(np.searchsorted(
+                    pos[a0:a1], pos[b0] - config.max_dist
+                ))
+                b1 = b0 + int(np.searchsorted(
+                    pos[b0:b1], pos[a1 - 1] + config.max_dist, side="right"
+                ))
+                if a0 >= a1 or b0 >= b1:
+                    continue
+            m = min(n_i, n_j)
+            Ci = None  # unpacked lazily per row block below
+            Cj_full = pack.pack_columns(
+                np.ascontiguousarray(cd.packed[a0:a1]),
+                cp.cols_for(gid_j), cd.n_haplotypes,
+            )
+            for r0 in range(b0, b1, block):
+                r1 = min(r0 + block, b1)
+                Ci = np.unpackbits(
+                    pack.pack_columns(
+                        np.ascontiguousarray(cd.packed[r0:r1]),
+                        cp.cols_for(gid_i), cd.n_haplotypes,
+                    ), axis=1, count=n_i,
+                ).astype(np.int8)
+                for c0 in range(a0, a1, 4 * block):
+                    c1_stop = min(c0 + 4 * block, a1)
+                    if config.max_dist is not None:
+                        if pos[c0] > pos[r1 - 1] + config.max_dist:
+                            break
+                        if pos[c1_stop - 1] < pos[r0] - config.max_dist:
+                            continue
+                    Cj = np.unpackbits(
+                        Cj_full[c0 - a0:c1_stop - a0], axis=1, count=n_j,
+                    ).astype(np.int8)
+                    c_ab, _, _ = pair_counts_async(
+                        Ci[:, :m], Cj[:, :m]
+                    )()
+                    ex = exact_ld_from_counts(
+                        c_ab, Ci.sum(axis=1, dtype=np.int64),
+                        Cj.sum(axis=1, dtype=np.int64),
+                        m, len1=n_i, len2=n_j,
+                    )
+                    meas = (
+                        ex.r_square
+                        if config.ld_measure == "r_square"
+                        else ex.d_prime
+                    )
+                    int_zero = (
+                        ex.r_square_is_int_zero
+                        if config.ld_measure == "r_square"
+                        else ex.d_prime_is_int_zero
+                    )
+                    rounded = round4(meas)
+                    rounded[int_zero] = 0.0
+                    keep = rounded >= config.ld_low_thres
+                    if config.max_dist is not None:
+                        dist = (
+                            pos[r0:r1, None] - pos[None, c0:c1_stop]
+                        )
+                        keep &= np.abs(dist) <= config.max_dist
+                    ii, jj = np.nonzero(keep)
+                    if ii.size == 0:
+                        continue
+                    parts.append((
+                        (ii + r0).astype(np.int64),
+                        (jj + c0).astype(np.int64),
+                        ex.r_square[keep], ex.d_prime[keep],
+                        ex.r_square_is_int_zero[keep],
+                        ex.d_prime_is_int_zero[keep],
+                    ))
+
+    if parts:
+        i = np.concatenate([p[0] for p in parts])
+        j = np.concatenate([p[1] for p in parts])
+        r2 = np.concatenate([p[2] for p in parts])
+        dp = np.concatenate([p[3] for p in parts])
+        r2_iz = np.concatenate([p[4] for p in parts])
+        dp_iz = np.concatenate([p[5] for p in parts])
+        order = np.lexsort((j, i))
+        return ScanHits(
+            i=i[order], j=j[order], r_square=r2[order], d_prime=dp[order],
+            r_square_is_int_zero=r2_iz[order],
+            d_prime_is_int_zero=dp_iz[order], exact=True,
+        )
+    z = np.zeros(0)
+    return ScanHits(
+        i=np.zeros(0, np.int64), j=np.zeros(0, np.int64),
+        r_square=z, d_prime=z,
+        r_square_is_int_zero=np.zeros(0, bool),
+        d_prime_is_int_zero=np.zeros(0, bool), exact=True,
+    )
+
+
 def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
     """Scan one chromosome; returns the output file path."""
     import time
 
+    import numpy as np
+
     t_start = time.time()
     cd = data.store().chrom(chrom)
-    # the scan consumes the store's bitpacked bytes directly (full-cohort
-    # runs are zero-copy; sub-cohorts repack their bit columns once) —
-    # the unpacked matrix is never materialized
-    gp, n_hap = cd.cohort_packed(data.sample_names)
-    log.info(
-        "scanning chr%s: %d variants x %d haplotypes (bitpacked), %s >= %s%s",
-        chrom, gp.shape[0], n_hap, config.ld_measure,
-        config.ld_low_thres,
-        f", dist <= {config.max_dist}" if config.max_dist else "",
-    )
-    hits = stream_threshold_scan(
-        G_packed=gp,
-        n_haplotypes=n_hap,
-        pos=cd.pos,
-        measure=config.ld_measure,
-        thres=config.ld_low_thres,
-        max_dist=config.max_dist,
-        use_pallas=config.resolve_use_pallas(),
-        exact=True,
-        checkpoint_dir=config.checkpoint_dir,
-        mesh=config.mesh(),
-    )
+    cp = cd.cohort_ploidy(data.sample_names)
+    chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
+    if chrom_groups.size > 1:
+        hits = _scan_mixed_chromosome(cd, cp, config)
+    else:
+        # single ploidy profile: the scan consumes the profile's live
+        # bit columns directly (full-diploid-cohort runs are zero-copy;
+        # subsets and haploid profiles repack their bit columns once) —
+        # the unpacked matrix is never materialized
+        gid = int(chrom_groups[0]) if chrom_groups.size else 0
+        cols = cp.cols_for(gid)
+        from ld_tools_tpu.ingest import pack
+
+        if cols.size == cd.n_haplotypes and np.array_equal(
+            cols, np.arange(cd.n_haplotypes)
+        ):
+            gp, n_hap = cd.packed, cd.n_haplotypes
+        else:
+            gp = pack.pack_columns(cd.packed, cols, cd.n_haplotypes)
+            n_hap = cols.size
+        log.info(
+            "scanning chr%s: %d variants x %d haplotypes (bitpacked), "
+            "%s >= %s%s",
+            chrom, gp.shape[0], n_hap, config.ld_measure,
+            config.ld_low_thres,
+            f", dist <= {config.max_dist}" if config.max_dist else "",
+        )
+        hits = stream_threshold_scan(
+            G_packed=gp,
+            n_haplotypes=n_hap,
+            pos=cd.pos,
+            measure=config.ld_measure,
+            thres=config.ld_low_thres,
+            max_dist=config.max_dist,
+            use_pallas=config.resolve_use_pallas(),
+            exact=True,
+            checkpoint_dir=config.checkpoint_dir,
+            mesh=config.mesh(),
+        )
     makedirs(config.trg_dir_path)
     name = (
         f"ld_scan_chr{chrom}_{config.ld_measure[0]}_"

@@ -333,3 +333,89 @@ def test_python_and_native_ingest_parity_on_chrx(xenv, tmp_path):
             assert (prof == 2).all()
         else:
             np.testing.assert_array_equal(prof, rec.ploidy)
+
+
+def _scan_args(xenv, trg, **kw):
+    return types.SimpleNamespace(
+        chroms=kw.get("chroms", "X"),
+        trg_dir_path=trg,
+        intgen_dir_path=xenv.intgen,
+        skip_intgen_data_ver=True,
+        gend_names=kw.get("gend_names", "both"),
+        pop_names=kw.get("pop_names", "all"),
+        ld_measure=kw.get("ld_measure", "r_square"),
+        ld_low_thres=kw.get("ld_low_thres", 0.2),
+        max_dist=kw.get("max_dist", None),
+        checkpoint_dir=None,
+        devices=kw.get("devices", None),
+    )
+
+
+@pytest.mark.parametrize("max_dist", [None, 9000])
+def test_scan_chrx_segmented_matches_oracle(xenv, tmp_path, max_dist):
+    """ld_scan on a mixed chromosome: per-segment triangular scans plus
+    cross-segment rectangles must together reproduce brute-force oracle
+    filtering over ALL pairs, including PAR x non-PAR."""
+    from ld_tools_tpu.tools import scan
+
+    trg = str(tmp_path / f"scan_{max_dist}")
+    assert scan.run(_scan_args(xenv, trg, max_dist=max_dist)) == 1
+    path = os.path.join(trg, "ld_scan_chrX_r_0.2.tsv")
+    with open(path) as fh:
+        rows = [
+            ln.split("\t")
+            for ln in fh.read().splitlines()
+            if not ln.startswith("#")
+        ]
+    gl = _flat_lists(xenv, "X")
+    pos_of = xenv.rs_x
+    by_pos = sorted(gl, key=lambda r: pos_of[r])
+    expected = {}
+    cross = 0
+    for a_i in range(len(by_pos)):
+        for b_i in range(a_i):
+            ra, rb = by_pos[a_i], by_pos[b_i]
+            if max_dist is not None and pos_of[ra] - pos_of[rb] > max_dist:
+                continue
+            out = oracle_ld(gl[ra], gl[rb])
+            if out["r_square"] >= 0.2:
+                expected[(ra, rb)] = out
+                if len(gl[ra]) != len(gl[rb]):
+                    cross += 1
+    got = {(r[1], r[3]): r for r in rows}
+    assert set(got) == set(expected)
+    assert cross > 0, "no cross-region hits; fixture too weak"
+    for key, r in got.items():
+        out = expected[key]
+        assert float(r[5]) == out["r_square"], key
+        assert float(r[6]) == out["d_prime"], key
+
+
+def test_scan_chry_uniform_haploid(xenv, tmp_path):
+    from ld_tools_tpu.tools import scan
+
+    trg = str(tmp_path / "scany")
+    assert scan.run(
+        _scan_args(xenv, trg, chroms="Y", gend_names="male")
+    ) == 1
+    path = os.path.join(trg, "ld_scan_chrY_r_0.2.tsv")
+    with open(path) as fh:
+        rows = [
+            ln.split("\t")
+            for ln in fh.read().splitlines()
+            if not ln.startswith("#")
+        ]
+    gl = _flat_lists(xenv, "Y", gends=("male",))
+    pos_of = xenv.rs_y
+    by_pos = sorted(gl, key=lambda r: pos_of[r])
+    expected = {}
+    for a_i in range(len(by_pos)):
+        for b_i in range(a_i):
+            ra, rb = by_pos[a_i], by_pos[b_i]
+            out = oracle_ld(gl[ra], gl[rb])
+            if out["r_square"] >= 0.2:
+                expected[(ra, rb)] = out
+    got = {(r[1], r[3]): r for r in rows}
+    assert set(got) == set(expected)
+    for key, r in got.items():
+        assert float(r[5]) == expected[key]["r_square"], key
