@@ -150,6 +150,133 @@ def write_json(path: str, figure: dict) -> None:
         json.dump(figure, fh, indent=2)
 
 
+# --- columnar (O(n)-strings) hover payload --------------------------------
+#
+# Per-cell hovertext strings are O(n^2) x ~200 bytes: a 10k-variant figure
+# would carry ~10 GB of JSON (VERDICT r3).  Past _HOVER_CELLS_MAX variants
+# the figure switches to a columnar payload: the 4-dp value matrices ship
+# as base64 int16 (value * 1e4; strict lower triangle, row-major) plus
+# O(n) per-variant arrays, and the HTML canvas renderer assembles each
+# hover string client-side in the reference's exact format
+# (ld_triangle.py:200-213).  The z matrix is not shipped at all — the
+# client derives it from the chosen measure and the threshold, exactly as
+# the table writer does (sub-threshold cells render 0 but keep hover).
+
+_HOVER_CELLS_MAX = 500  # per-cell strings keep byte parity up to here
+
+# Quantized-code widths: uniform-ploidy LD values live in [-1, 1], so
+# int16 codes (v * 1e4, sentinel magnitude 20001) suffice.  Mixed-ploidy
+# (chrX) cross-profile pairs follow the reference's zip-truncation math,
+# where frequencies exceed 1 and D'/r^2 are unbounded (calc_ld.py:30-90
+# over unequal lists) — those figures use int32 codes with a far
+# sentinel.  The sentinel encodes the reference's int-0 ('0'); its
+# negation encodes IEEE -0.0 after round4 ('-0.0').
+_Q_WIDTHS = {"i2": 20001, "i4": 1 << 30}
+
+
+def encode_q_rows(
+    values, int_zero, row_lo: int, row_hi: int, qdtype: str = "i2"
+) -> bytes:
+    """Quantize rows [row_lo, row_hi) of a 4-dp value block.
+
+    ``values``: (row_hi - row_lo, >=row_hi) f64 block whose row k holds
+    pair values of global variant row_lo + k; only the strict lower
+    triangle (first row_lo + k entries) is kept.  Returns little-endian
+    int16/int32 bytes: round(v * 1e4), with the int-0 sentinel and
+    negative zero mapped to out-of-range codes.
+    """
+    import numpy as np
+
+    sent = _Q_WIDTHS[qdtype]
+    np_dt = np.int16 if qdtype == "i2" else np.int32
+    out = []
+    for k in range(row_hi - row_lo):
+        i = row_lo + k
+        row = np.asarray(values[k][:i], dtype=np.float64)
+        q = np.clip(np.rint(row * 1e4), -(sent - 1), sent - 1).astype(np_dt)
+        neg = (q == 0) & np.signbit(row)
+        q[neg] = -sent
+        iz = np.asarray(int_zero[k][:i], dtype=bool)
+        q[iz] = sent
+        out.append(q.astype(f"<{qdtype}").tobytes())
+    return b"".join(out)
+
+
+def build_figure_columnar(
+    *,
+    n: int,
+    rs_ids,
+    positions,
+    alleles,
+    types,
+    measure: str,
+    thres,
+    r2_q: bytes,
+    dp_q: bytes,
+    color_pal: str,
+    title_text: str,
+    footer_text,
+    square_shape: bool,
+    freq_q=None,
+    freq1_q: bytes = None,
+    freq2_q: bytes = None,
+    qdtype: str = "i2",
+) -> dict:
+    """Figure dict with the columnar hover payload (> _HOVER_CELLS_MAX).
+
+    ``r2_q``/``dp_q``: int16/int32 (per ``qdtype``) strict-lower-triangle
+    buffers from encode_q_rows, n*(n-1)/2 entries each.  ``freq_q`` is
+    the O(n) per-variant alt-freq list (value * 1e4 ints) for
+    uniform-ploidy chromosomes; mixed chromosomes pass pair-dependent
+    ``freq1_q`` / ``freq2_q`` triangle buffers instead (reference
+    calc_ld.py:37-44).
+    """
+    import base64
+
+    width = 2 if qdtype == "i2" else 4
+    expected = n * (n - 1) // 2 * width
+    assert len(r2_q) == expected and len(dp_q) == expected
+    columnar = {
+        "n": n,
+        "measure": measure,
+        "thres": thres,
+        "qw": width,
+        "qs": _Q_WIDTHS[qdtype],
+        "rsids": list(rs_ids),
+        "pos": [int(p) for p in positions],
+        "alleles": list(alleles),
+        "types": list(types),
+        "r2q": base64.b64encode(r2_q).decode(),
+        "dpq": base64.b64encode(dp_q).decode(),
+    }
+    if freq_q is not None:
+        columnar["freqq"] = [int(f) for f in freq_q]
+    else:
+        columnar["f1q"] = base64.b64encode(freq1_q).decode()
+        columnar["f2q"] = base64.b64encode(freq2_q).decode()
+    layout = {
+        "title": {"text": title_text},
+        "xaxis": {"side": "bottom", "showticklabels": False},
+        "yaxis": {"autorange": "reversed", "showticklabels": False},
+    }
+    if square_shape:
+        layout["xaxis"]["constraintoward"] = "left"
+        layout["yaxis"]["scaleanchor"] = "x"
+        layout["yaxis"]["scaleratio"] = 1
+        layout["plot_bgcolor"] = "rgba(0,0,0,0)"
+    if footer_text is not None:
+        layout["xaxis"]["title"] = {"text": footer_text, "font": {"size": 10}}
+    trace = {
+        "type": "heatmap",
+        "hoverinfo": "text",
+        "xgap": 1,
+        "ygap": 1,
+        "colorscale": colorscale_stops(color_pal),
+        "showscale": False,
+    }
+    return {"data": [trace], "layout": layout, "columnar": columnar}
+
+
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>LD heatmap</title>
 <style>
@@ -240,10 +367,162 @@ document.getElementById('footer').innerHTML = xt;
 """
 
 
+_HTML_TEMPLATE_COLUMNAR = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>LD heatmap</title>
+<style>
+ body {{ font-family: sans-serif; margin: 12px; }}
+ #title {{ white-space: pre-line; font-size: 14px; }}
+ #footer {{ white-space: pre-line; font-size: 10px; color: #444; }}
+ #wrap {{ position: relative; display: inline-block; }}
+ #tip {{ position: absolute; display: none; background: #fff; border: 1px solid #888;
+        padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }}
+</style></head><body>
+<div id="title"></div>
+<div id="wrap"><canvas id="hm"></canvas><div id="tip"></div></div>
+<div id="footer"></div>
+<script>
+// Columnar payload: per-variant arrays are O(n) strings; the 4-dp value
+// matrices arrive as base64 int16 (value*1e4, strict lower triangle,
+// row-major).  Hover text is assembled here in the reference's exact
+// per-cell format (ld_triangle.py:200-213); z is derived from the chosen
+// measure + threshold exactly like the table writer (sub-threshold cells
+// render 0 but keep their true hover values).
+const FIG = {figure_json};
+const C = FIG.columnar, n = C.n;
+const stops = FIG.data[0].colorscale;
+const QW = C.qw, QS = C.qs;  // code byte width and sentinel magnitude
+function b64q(s) {{
+  const bin = atob(s), m = bin.length / QW;
+  const a = QW === 2 ? new Int16Array(m) : new Int32Array(m);
+  if (QW === 2) {{
+    for (let k = 0; k < m; k++)
+      a[k] = ((bin.charCodeAt(2*k) | (bin.charCodeAt(2*k+1) << 8)) << 16) >> 16;
+  }} else {{
+    for (let k = 0; k < m; k++)
+      a[k] = bin.charCodeAt(4*k) | (bin.charCodeAt(4*k+1) << 8)
+           | (bin.charCodeAt(4*k+2) << 16) | (bin.charCodeAt(4*k+3) << 24);
+  }}
+  return a;
+}}
+const r2q = b64q(C.r2q), dpq = b64q(C.dpq);
+const f1q = C.f1q ? b64q(C.f1q) : null;
+const f2q = C.f2q ? b64q(C.f2q) : null;
+const measq = C.measure === "r_square" ? r2q : dpq;
+const tri = (i, j) => i * (i - 1) / 2 + j;   // j < i
+// str(round(v, 4)) reconstruction, including the int-0 sentinel ('0'),
+// float zero ('0.0') and negative zero ('-0.0')
+function fmt(m) {{
+  if (m === QS) return "0";
+  if (m === -QS) return "-0.0";
+  const sgn = m < 0 ? "-" : ""; m = Math.abs(m);
+  const whole = Math.floor(m / 10000);
+  let f = String(m % 10000).padStart(4, "0").replace(/0+$/, "");
+  return sgn + whole + "." + (f || "0");
+}}
+function zAt(i, j) {{
+  if (j >= i) return 0;
+  const m = measq[tri(i, j)];
+  if (m === QS) return 0;
+  const v = m / 1e4;
+  if (C.thres !== null && v < C.thres) return 0;
+  return v;
+}}
+function hex2rgb(h) {{ return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }}
+function colorAt(t) {{
+  for (let k = 1; k < stops.length; k++) {{
+    if (t <= stops[k][0]) {{
+      const a = hex2rgb(stops[k-1][1]), b = hex2rgb(stops[k][1]);
+      const u = (t - stops[k-1][0]) / (stops[k][0] - stops[k-1][0] || 1);
+      return [0,1,2].map(i => Math.round(a[i] + (b[i]-a[i]) * u));
+    }}
+  }}
+  return hex2rgb(stops[stops.length-1][1]);
+}}
+let zmin = 0, zmax = -Infinity;
+for (let k = 0; k < measq.length; k++) {{
+  const m = measq[k];
+  if (m === QS || m === -QS) continue;
+  const v = m / 1e4;
+  if (C.thres !== null && v < C.thres) continue;
+  if (v < zmin) zmin = v;
+  if (v > zmax) zmax = v;
+}}
+if (zmax <= zmin) zmax = zmin + 1;
+// fixed-size canvas with max-pooling when n exceeds the pixel budget
+const side = Math.min(900, Math.max(n, 64));
+const cell = Math.max(1, Math.floor(side / n));
+const px = n * cell <= side ? cell : side / n;
+const canvas = document.getElementById('hm');
+canvas.width = Math.ceil(n * px); canvas.height = Math.ceil(n * px);
+const ctx = canvas.getContext('2d');
+ctx.fillStyle = '#ffffff'; ctx.fillRect(0, 0, canvas.width, canvas.height);
+// y autorange is reversed in the figure: row 0 renders at the top.
+const img = ctx.createImageData(canvas.width, canvas.height);
+const W = canvas.width;
+// max-pool cells into pixels (several cells can share one pixel at
+// large n: keep the strongest signal so hits stay visible)
+const pool = new Float32Array(W * canvas.height);  // zeros = background
+for (let i = 1; i < n; i++) {{
+  const y0 = Math.floor(i * px), y1 = Math.max(y0 + 1, Math.floor((i + 1) * px));
+  for (let j = 0; j < i; j++) {{
+    const v = zAt(i, j);
+    if (v <= 0) continue;
+    const x0 = Math.floor(j * px), x1 = Math.max(x0 + 1, Math.floor((j + 1) * px));
+    for (let y = y0; y < y1; y++) for (let x = x0; x < x1; x++) {{
+      const o = y * W + x;
+      if (v > pool[o]) pool[o] = v;
+    }}
+  }}
+}}
+for (let o = 0; o < pool.length; o++) {{
+  const c = colorAt((pool[o] - zmin) / (zmax - zmin));
+  img.data[4*o] = c[0]; img.data[4*o+1] = c[1];
+  img.data[4*o+2] = c[2]; img.data[4*o+3] = 255;
+}}
+ctx.putImageData(img, 0, 0);
+const tip = document.getElementById('tip');
+canvas.addEventListener('mousemove', ev => {{
+  const r = canvas.getBoundingClientRect();
+  const j = Math.floor((ev.clientX - r.left) / px);
+  const i = Math.floor((ev.clientY - r.top) / px);
+  if (i > 0 && i < n && j >= 0 && j < i) {{
+    const t = tri(i, j);
+    const rs = C.rsids, pos = C.pos, al = C.alleles, ty = C.types;
+    const fx = f2q ? fmt(f2q[t]) : fmt(C.freqq[j]);
+    const fy = f1q ? fmt(f1q[t]) : fmt(C.freqq[i]);
+    tip.innerHTML = "\\nr2: " + fmt(r2q[t]) + "<br>\\nD': " + fmt(dpq[t])
+      + "<br>\\nabs_dist: " + Math.abs(pos[j] - pos[i]) + "<br><br>\\n"
+      + rs[j] + ".hg38_pos: " + pos[j] + "<br>\\n"
+      + rs[i] + ".hg38_pos: " + pos[i] + "<br><br>\\n"
+      + rs[j] + ".alleles: " + al[j] + "<br>\\n"
+      + rs[i] + ".alleles: " + al[i] + "<br><br>\\n"
+      + rs[j] + ".type: " + ty[j] + "<br>\\n"
+      + rs[i] + ".type: " + ty[i] + "<br><br>\\n"
+      + rs[j] + ".alt_freq: " + fx + "<br>\\n"
+      + rs[i] + ".alt_freq: " + fy + "\\n";
+    tip.style.display = 'block';
+    tip.style.left = (ev.clientX - r.left + 14) + 'px';
+    tip.style.top = (ev.clientY - r.top + 14) + 'px';
+  }} else tip.style.display = 'none';
+}});
+canvas.addEventListener('mouseleave', () => tip.style.display = 'none');
+document.getElementById('title').textContent = (FIG.layout.title||{{}}).text || '';
+const xt = ((FIG.layout.xaxis||{{}}).title||{{}}).text || '';
+document.getElementById('footer').innerHTML = xt;
+</script></body></html>
+"""
+
+
 def write_html(path: str, figure: dict, disp_letters: bool) -> None:
-    html = _HTML_TEMPLATE.format(
-        figure_json=json.dumps(figure),
-        show_numbers="true" if disp_letters else "false",
-    )
+    if "columnar" in figure:
+        html = _HTML_TEMPLATE_COLUMNAR.format(
+            figure_json=json.dumps(figure),
+        )
+    else:
+        html = _HTML_TEMPLATE.format(
+            figure_json=json.dumps(figure),
+            show_numbers="true" if disp_letters else "false",
+        )
     with open(path, "w") as fh:
         fh.write(html)

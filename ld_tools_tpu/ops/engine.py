@@ -81,20 +81,7 @@ def pair_counts(a: np.ndarray, b: np.ndarray, row_pad: int = 128, hap_pad: int =
     Tiny jobs (under ``_HOST_COUNTS_MACS`` multiply-accumulates) skip the
     device entirely and run in host BLAS — exact either way.
     """
-    n_hap = a.shape[1]
-    assert b.shape[1] == n_hap
-    va, vb = a.shape[0], b.shape[0]
-    if va * vb * max(n_hap, 1) < _HOST_COUNTS_MACS:
-        return _pair_counts_host(a, b)
-    h = _round_up(max(n_hap, 1), hap_pad)
-    ap = _pad_cols(_pad_rows(a, _round_up(max(va, 1), row_pad)), h)
-    bp = _pad_cols(_pad_rows(b, _round_up(max(vb, 1), row_pad)), h)
-    c_ab, c1, c2 = _counts_kernel(jnp.asarray(ap), jnp.asarray(bp))
-    return (
-        np.asarray(c_ab)[:va, :vb],
-        np.asarray(c1)[:va],
-        np.asarray(c2)[:vb],
-    )
+    return pair_counts_async(a, b, row_pad, hap_pad)()
 
 
 def pair_counts_async(a: np.ndarray, b: np.ndarray, row_pad: int = 128,

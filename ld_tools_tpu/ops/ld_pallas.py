@@ -681,14 +681,18 @@ def ld_band_sweep(
     interpret: bool = False,
 ):
     """Band sweep (rows-block x cols-block grid) with a configurable
-    output menu — the engine under the streamed chromosome-scale scan.
+    output menu — the fetch engine under the streamed chromosome-scale
+    scan (the count pass uses the fused :func:`ld_band_count` instead).
 
-    ``outs`` is an ordered subset of ``_BAND_OUT_DTYPES``; the scan's
-    count pass requests ``("meas",)`` (one f32 tile, light epilogue) and
-    its fetch pass ``("meas", "r2", "dp", "cab")``.  ``sel`` picks the
-    threshold measure (0 = r_square via the divide-free fast form, 1 =
-    exact-order d_prime).  Dense (``packed=False``) inputs must be int8
-    {0,1} pre-padded to block multiples; packed inputs are the store's
+    ``outs`` is an ordered subset of ``_BAND_OUT_DTYPES``.  Under the
+    integer-exact threshold mask the scan's fetch pass requests
+    ``("cab",)`` (exact scans — the host refinishes hits from raw
+    counts) or ``("cab", "r2", "dp")`` (fast scans); the f32 fallback
+    mask (cohorts past the int32-exact bound) swaps ``"cab"`` for
+    ``"meas"`` as the mask source.  ``sel`` picks the threshold measure
+    (0 = r_square via the divide-free fast form, 1 = exact-order
+    d_prime).  Dense (``packed=False``) inputs must be int8 {0,1}
+    pre-padded to block multiples; packed inputs are the store's
     bitpacked uint8 bytes padded to a 128-multiple byte width.
     """
     for o in outs:
@@ -749,6 +753,251 @@ def ld_band_sweep(
     )(g_rows, g_cols, c1_rows, c1_cols, ipq_rows, ipq_cols,
       jnp.asarray([[n_haplotypes]], dtype=jnp.int32))
     return dict(zip(outs, out))
+
+
+def exact_keep_mask(cab_i32, c1_col, c2_row, n_hap, thres_dev, sel):
+    """Threshold mask straight from exact integer counts — no cancellation.
+
+    Shared between the streamed scan's XLA tile path
+    (ops/ld_stream._tile_ld) and the fused Pallas count kernel below, so
+    every pass of a scan derives its keep decision from the identical
+    traced arithmetic.  With ``nd = n*c_ab - c1*c2`` (= n^2 * D,
+    int32-exact for n <= ld_stream._EXACT_MASK_MAX_HAP):
+      r^2 >= t  <=>  nd^2 >= t * (c1*(n-c1)) * (c2*(n-c2))
+      D'  >= t  <=>  |nd| >= t * M,   M = min(c1*(n-c2), (n-c1)*c2)
+                     for nd >= 0, else min(c1*c2, (n-c1)*(n-c2))
+    The int32 operands cast to f32 with <= 1-ulp relative error, and are
+    EXACT below 2^24 — precisely the regime where the margins are tight —
+    so with the caller's 5e-4 margin the mask keeps a superset of the
+    exactly-kept pairs in every regime; the exact host refilter then
+    applies the reference's post-rounding threshold (ld_area.py:248).
+    Monomorphic cells (denominator 0, reference sentinel value 0) are
+    kept only when the margin threshold is <= 0.
+    """
+    n = n_hap.astype(jnp.int32)
+    c1i = c1_col.astype(jnp.int32)  # counts are exact in f32
+    c2i = c2_row.astype(jnp.int32)
+    nd = n * cab_i32 - c1i * c2i
+    nd_f = nd.astype(jnp.float32)
+    if sel == 0:
+        ab = (c1i * (n - c1i)).astype(jnp.float32) * (
+            c2i * (n - c2i)
+        ).astype(jnp.float32)
+        keep = nd_f * nd_f >= thres_dev * ab
+        keep &= (ab > 0) | (thres_dev <= 0)
+    else:
+        m_pos = jnp.minimum(c1i * (n - c2i), (n - c1i) * c2i)
+        m_neg = jnp.minimum(c1i * c2i, (n - c1i) * (n - c2i))
+        m = jnp.where(nd >= 0, m_pos, m_neg).astype(jnp.float32)
+        keep = jnp.abs(nd_f) >= thres_dev * m
+        keep &= (m > 0) | (thres_dev <= 0)
+    return keep
+
+
+def _band_count_kernel(
+    bi_ref,    # scalar-prefetch: block-row index per grid step
+    bj_ref,    # scalar-prefetch: block-col index per grid step
+    tile_ref,  # scalar-prefetch: output slot (tile id) per grid step
+    ni_ref,    # scalar-prefetch int32: [n_haplotypes, max_dist]
+    nf_ref,    # scalar-prefetch f32: [margin threshold]
+    a_ref,     # (BM, W) int8 dense rows block (or uint8 packed)
+    b_ref,     # (BN, W) int8 dense cols block
+    c1a_ref,   # (BM, 1) f32 alt counts of rows
+    c1b_ref,   # (BN, 1) f32 alt counts of cols
+    ipqa_ref,  # (BM, 1) f32 1/(p*q) of rows (fallback f32 mask only)
+    ipqb_ref,  # (BN, 1) f32 1/(p*q) of cols
+    posa_ref,  # (BM, 1) int32 positions of rows
+    posb_ref,  # (BN, 1) int32 positions of cols
+    cnt_ref,   # out (1, 1) int32 in SMEM: per-TILE hit count (accumulated)
+    *rest,     # packed mode: a-planes VMEM scratch
+    packed,
+    sel,
+    exact_mask,
+    use_dist,
+    block_m,
+    block_n,
+):
+    """Fused count pass: MXU counts -> in-VMEM threshold mask -> scalar.
+
+    The streamed scan's pass 1 previously wrote each tile's int32 count
+    matrix to HBM and derived the mask in XLA — several full-tile HBM
+    round trips that ran the count phase at ~40% of the kernel-bench
+    rate (VERDICT r3).  Here the mask (threshold x strict-lower-triangle
+    x optional distance window) is applied to the count block while it
+    is still in VMEM and only ONE int32 per tile ever leaves the chip.
+    Blocks of one tile are consecutive in the grid, so the per-tile
+    count accumulates in the revisited SMEM output block.
+    """
+    k = pl.program_id(0)
+    if packed:
+        (a_planes,) = rest
+        hp8 = a_ref.shape[1]
+        prev = jnp.maximum(k - 1, 0)
+        a_stale = jnp.logical_or(k == 0, bi_ref[k] != bi_ref[prev])
+
+        @pl.when(a_stale)
+        def _unpack_a():
+            a = a_ref[:].astype(jnp.int32)
+            for shift in range(8):
+                a_planes[:, shift * hp8:(shift + 1) * hp8] = (
+                    (a >> shift) & 1
+                ).astype(jnp.int8)
+
+        b = b_ref[:].astype(jnp.int32)
+        c_ab = None
+        for shift in range(8):
+            bb = ((b >> shift) & 1).astype(jnp.int8)
+            part = jax.lax.dot_general(
+                a_planes[:, shift * hp8:(shift + 1) * hp8], bb,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            c_ab = part if c_ab is None else c_ab + part
+    else:
+        c_ab = _band_counts_dense(a_ref, b_ref, heavy_epilogue=False)
+
+    n_hap = ni_ref[0]
+    thres = nf_ref[0]
+    if exact_mask:
+        keep = exact_keep_mask(
+            c_ab, c1a_ref[:], c1b_ref[:].T, n_hap, thres, sel
+        )
+    else:
+        c = c_ab.astype(jnp.float32)
+        n = n_hap.astype(jnp.float32)
+        inv_n = 1.0 / n
+        if sel == 0:
+            meas = _fast_r2(c, c1a_ref[:], c1b_ref[:].T,
+                            ipqa_ref[:], ipqb_ref[:].T, inv_n)
+        else:
+            _, meas = _ld_epilogue(c, c1a_ref[:], c1b_ref[:].T, inv_n, n)
+        keep = meas >= thres
+    rows_g = bi_ref[k] * block_m + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 0
+    )
+    cols_g = bj_ref[k] * block_n + jax.lax.broadcasted_iota(
+        jnp.int32, (block_m, block_n), 1
+    )
+    keep &= cols_g < rows_g  # strict lower triangle (no self-pairs)
+    if use_dist:
+        dist = jnp.abs(posa_ref[:] - posb_ref[:].T)
+        keep &= dist <= ni_ref[1]
+    cnt = jnp.sum(keep.astype(jnp.int32))
+    # the output is the WHOLE (n_slots, 1) SMEM array, revisited by every
+    # grid step (Mosaic requires sub-(8,128) blocks to equal the array):
+    # zero it once, then scatter-accumulate into this block's tile slot
+    n_slots = cnt_ref.shape[0]
+
+    @pl.when(k == 0)
+    def _zero():
+        def body(s, carry):
+            cnt_ref[s, 0] = 0
+            return carry
+
+        jax.lax.fori_loop(0, n_slots, body, 0)
+
+    slot = tile_ref[k]
+    cnt_ref[slot, 0] = cnt_ref[slot, 0] + cnt
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_slots", "packed", "sel", "exact_mask", "use_dist", "block_m",
+        "block_n", "interpret",
+    ),
+)
+def ld_band_count(
+    g_dev,
+    c1_dev,
+    ipq_dev,
+    pos_dev,
+    bi,
+    bj,
+    tile_idx,
+    params_i,
+    params_f,
+    *,
+    n_slots: int,
+    packed: bool,
+    sel: int,
+    exact_mask: bool,
+    use_dist: bool,
+    block_m: int = 640,
+    block_n: int = 640,
+    interpret: bool = False,
+):
+    """Per-tile hit counts for a scalar-prefetched list of blocks.
+
+    ``bi``/``bj`` are block coordinates into the padded resident matrix,
+    grouped so that every run of equal ``tile_idx`` is consecutive;
+    ``tile_idx[k]`` is the output slot block k accumulates into (pad
+    blocks can point at a trash slot).  Returns (n_slots,) int32.
+    """
+    n_blocks = bi.shape[0]
+    pos_col = pos_dev.reshape(-1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        scratch_shapes=(
+            [pltpu.VMEM((block_m, 8 * g_dev.shape[1]), jnp.int8)]
+            if packed
+            else []
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_m, g_dev.shape[1]),
+                         lambda k, bi, bj, t, pi, pf: (bi[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, g_dev.shape[1]),
+                         lambda k, bi, bj, t, pi, pf: (bj[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1),
+                         lambda k, bi, bj, t, pi, pf: (bi[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1),
+                         lambda k, bi, bj, t, pi, pf: (bj[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1),
+                         lambda k, bi, bj, t, pi, pf: (bi[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1),
+                         lambda k, bi, bj, t, pi, pf: (bj[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1),
+                         lambda k, bi, bj, t, pi, pf: (bi[k], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1),
+                         lambda k, bi, bj, t, pi, pf: (bj[k], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_slots, 1), lambda k, bi, bj, t, pi, pf: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+    )
+    h_macs = g_dev.shape[1] * (8 if packed else 1)
+    (cnt,) = pl.pallas_call(
+        functools.partial(
+            _band_count_kernel, packed=packed, sel=sel,
+            exact_mask=exact_mask, use_dist=use_dist,
+            block_m=block_m, block_n=block_n,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_slots, 1), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_blocks * block_m * block_n * h_macs,
+            bytes_accessed=(
+                n_blocks * (block_m + block_n) * g_dev.shape[1]
+            ),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bi, bj, tile_idx, params_i, params_f,
+      g_dev, g_dev, c1_dev, c1_dev, ipq_dev, ipq_dev, pos_col, pos_col)
+    return cnt[:, 0]
 
 
 def _band_ipq(c1, n_haplotypes):

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ld_tools_tpu.ops.exact import exact_ld_elementwise, round4
-from ld_tools_tpu.ops.ld_pallas import _fast_r2, _ld_epilogue, ld_band_sweep
+from ld_tools_tpu.ops.ld_pallas import (
+    _fast_r2,
+    _ld_epilogue,
+    exact_keep_mask,
+    ld_band_count,
+    ld_band_sweep,
+)
 from ld_tools_tpu.utils.logging import get_logger
 
 log = get_logger("ops.ld_stream")
@@ -112,48 +118,10 @@ def _compact_keep_2d(keep, cap: int):
 _EXACT_MASK_MAX_HAP = 46340
 
 
-def _exact_keep_mask(cab_i32, c1_col, c2_row, n_hap, thres_dev, sel):
-    """Threshold mask straight from exact integer counts — no cancellation.
-
-    The old mask compared the f32 epilogue value (fast r^2 / exact-order
-    D') against ``thres - 5e-4``, assuming f32 noise stays far below the
-    margin.  That fails for near-monomorphic variants: ``d = p_ab -
-    p1*p2`` cancels catastrophically and D' divides by a denominator as
-    small as 1/n^2, so the f32 measure can be off by ~0.03 (measured by
-    scripts/tpu_smoke.py on a random slab) — a scan could silently drop
-    rare-variant pairs the exact math keeps.
-
-    Here every comparison is a scaled integer form.  With ``nd = n*c_ab
-    - c1*c2`` (= n^2 * D, int32-exact for n <= `_EXACT_MASK_MAX_HAP`):
-      r^2 >= t  <=>  nd^2 >= t * (c1*(n-c1)) * (c2*(n-c2))
-      D'  >= t  <=>  |nd| >= t * M,   M = min(c1*(n-c2), (n-c1)*c2)
-                     for nd >= 0, else min(c1*c2, (n-c1)*(n-c2))
-    The int32 operands cast to f32 with <= 1-ulp relative error, and are
-    EXACT below 2^24 — precisely the regime where the margins are tight —
-    so with the caller's 5e-4 margin the mask keeps a superset of the
-    exactly-kept pairs in every regime; the exact host refilter then
-    applies the reference's post-rounding threshold (ld_area.py:248).
-    Monomorphic cells (denominator 0, reference sentinel value 0) are
-    kept only when the margin threshold is <= 0.
-    """
-    n = n_hap.astype(jnp.int32)
-    c1i = c1_col.astype(jnp.int32)  # counts are exact in f32
-    c2i = c2_row.astype(jnp.int32)
-    nd = n * cab_i32 - c1i * c2i
-    nd_f = nd.astype(jnp.float32)
-    if sel == 0:
-        ab = (c1i * (n - c1i)).astype(jnp.float32) * (
-            c2i * (n - c2i)
-        ).astype(jnp.float32)
-        keep = nd_f * nd_f >= thres_dev * ab
-        keep &= (ab > 0) | (thres_dev <= 0)
-    else:
-        m_pos = jnp.minimum(c1i * (n - c2i), (n - c1i) * c2i)
-        m_neg = jnp.minimum(c1i * c2i, (n - c1i) * (n - c2i))
-        m = jnp.where(nd >= 0, m_pos, m_neg).astype(jnp.float32)
-        keep = jnp.abs(nd_f) >= thres_dev * m
-        keep &= (m > 0) | (thres_dev <= 0)
-    return keep
+# The integer-exact threshold mask lives in ops/ld_pallas so the fused
+# Pallas count kernel and this module's XLA tile path trace the IDENTICAL
+# arithmetic (pass 1 counts must always size pass 2's buffers right).
+_exact_keep_mask = exact_keep_mask
 
 
 def _tile_ld(
@@ -192,15 +160,20 @@ def _tile_ld(
     c1_cols = jax.lax.dynamic_slice(c1_dev, (col0, 0), (chunk, 1))
     ipq_rows = jax.lax.dynamic_slice(ipq_dev, (row0, 0), (band, 1))
     ipq_cols = jax.lax.dynamic_slice(ipq_dev, (col0, 0), (chunk, 1))
-    outs = ("cab",) + tuple(x for x in fetch if x != "cab")
-    if not exact_mask:
-        outs = ("meas",) + outs
+    if exact_mask:
+        outs = ("cab",) + tuple(x for x in fetch if x != "cab")
+    else:
+        # fallback f32 mask: "cab" is only an output when a fetch pass
+        # actually wants it — in the count pass it would be a dead int32
+        # tile the Pallas kernel still has to write (ADVICE r3)
+        outs = ("meas",) + tuple(x for x in fetch if x != "meas")
 
     if use_pallas:
         vals = ld_band_sweep(
             g_rows, g_cols, c1_rows, c1_cols, ipq_rows, ipq_cols, n_hap,
             packed=packed, outs=outs, sel=sel,
-            block_m=min(256, band), block_n=min(512, chunk),
+            block_m=(640 if band % 640 == 0 else min(256, band)),
+            block_n=(640 if chunk % 640 == 0 else min(512, chunk)),
             interpret=interpret,
         )
     else:
@@ -257,7 +230,7 @@ def _tile_ld(
         keep &= dist <= max_dist
 
     h_bound = g_dev.shape[1] * (8 if packed else 1)
-    if h_bound < 32768:
+    if "cab" in vals and h_bound < 32768:
         # counts bounded by the haplotype axis: int16 halves the per-hit
         # wire cost of the exact-mode fetch (downcast AFTER the mask,
         # which consumes the int32 tile)
@@ -387,6 +360,70 @@ def _fetch_compact_body(
     return tuple(o.reshape(-1)[sel_pos] for o in out)  # each (total_cap,)
 
 
+def _block_count_phase(
+    part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev, n_haplotypes,
+    margin_thres, max_dist, *, band, chunk, count_block, packed,
+    exact_mask, sel, use_dist, interpret,
+) -> np.ndarray:
+    """Pass 1 via the fused Pallas count kernel (ld_pallas.ld_band_count).
+
+    Tiles are exploded into count_block x count_block blocks with
+    block-level triangle and distance pruning (finer than the host's
+    tile-level pruning, so diagonal-straddling tiles no longer pay for
+    their fully-above-diagonal blocks).  Every block carries its tile's
+    output slot; the kernel accumulates per-tile hit counts in SMEM and
+    only n_tiles int32s leave the device.  Bit-identical to the XLA tile
+    path (_count_tiles_body): both derive keep from exact_keep_mask over
+    the same integer counts and global coordinates.
+    """
+    nbm = band // count_block
+    nbn = chunk // count_block
+    bi_l, bj_l, slot_l = [], [], []
+    for t_local in range(n_valid):
+        r0, c0 = part[t_local]
+        base_i = r0 // count_block
+        base_j = c0 // count_block
+        for di in range(nbm):
+            row_lo = (base_i + di) * count_block
+            for dj in range(nbn):
+                col_lo = (base_j + dj) * count_block
+                if col_lo >= row_lo + count_block:
+                    continue  # fully above the strict lower triangle
+                if use_dist and col_lo + count_block - 1 < row_lo:
+                    # fully-below-diagonal block: closest pair is
+                    # (first row, last col); positions are sorted
+                    row_s = min(row_lo, v - 1)
+                    col_e = min(col_lo + count_block - 1, v - 1)
+                    if int(pos[row_s]) - int(pos[col_e]) > max_dist:
+                        continue
+                bi_l.append(base_i + di)
+                bj_l.append(base_j + dj)
+                slot_l.append(t_local)
+    n_real = len(bi_l)
+    target = 1
+    while target < n_real:
+        target *= 2
+    trash = len(part)  # slot past every real tile
+    bi_l += [0] * (target - n_real)
+    bj_l += [0] * (target - n_real)
+    slot_l += [trash] * (target - n_real)
+    counts = np.asarray(ld_band_count(
+        g_dev, c1_dev, ipq_dev, pos_dev,
+        jnp.asarray(bi_l, dtype=jnp.int32),
+        jnp.asarray(bj_l, dtype=jnp.int32),
+        jnp.asarray(slot_l, dtype=jnp.int32),
+        jnp.asarray(
+            [n_haplotypes, max_dist if use_dist else 0], dtype=jnp.int32
+        ),
+        jnp.asarray([margin_thres], dtype=jnp.float32),
+        n_slots=len(part) + 1,
+        packed=packed, sel=sel, exact_mask=exact_mask,
+        use_dist=use_dist, block_m=count_block, block_n=count_block,
+        interpret=interpret,
+    ))[: len(part)]
+    return counts
+
+
 _count_tiles_batch = functools.partial(
     jax.jit,
     static_argnames=(
@@ -471,8 +508,9 @@ def stream_threshold_scan(
     measure: str = "r_square",
     thres: float,
     max_dist=None,
-    band: int = 4096,
-    chunk: int = 8192,
+    band: int = 3840,
+    chunk: int = 7680,
+    count_block: int = 640,
     cap_per_tile: int = 1 << 22,
     max_tiles_per_call: int = 512,
     use_pallas: bool = False,
@@ -691,11 +729,29 @@ def stream_threshold_scan(
             jnp.int32(max_dist if use_dist else 0),
         )
         _t0 = _time.perf_counter()
+        # the fused Pallas count kernel needs the band/chunk tiling to
+        # decompose into count_block x count_block kernel blocks (true at
+        # the 3840/7680/640 defaults; tiny inputs clamp band/chunk below
+        # a block and fall back to the XLA tile path)
+        use_block_count = (
+            use_pallas
+            and n_shards == 1
+            and band % count_block == 0
+            and chunk % count_block == 0
+        )
         if n_shards > 1:
             count_fn, fetch_factory = _sharded_tile_fns(mesh, **common)
             counts = np.asarray(count_fn(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
             ))
+        elif use_block_count:
+            counts = _block_count_phase(
+                part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev,
+                n_haplotypes, margin_thres, max_dist,
+                band=band, chunk=chunk, count_block=count_block,
+                packed=packed, exact_mask=common["exact_mask"], sel=sel,
+                use_dist=use_dist, interpret=interpret,
+            )
         else:
             counts = np.asarray(_count_tiles_batch(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
@@ -712,13 +768,8 @@ def stream_threshold_scan(
                 f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
                 f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
+        use_compact_fetch = False
         if n_shards == 1 and hit_idx.size:
-            # Single-device: ONE fetch dispatch for the whole batch.
-            # The device compacts every hit tile's survivors into one
-            # dense buffer (_fetch_compact_body), so dispatch count and
-            # wire bytes are both within 2x of the physical minimum —
-            # through an RPC-relayed device the bucketed path below
-            # would pay ~0.5 s per cap bucket plus padded buffers.
             idxs = [int(t) for t in hit_idx]
             max_cnt = int(counts[hit_idx].max())
             total = int(counts[hit_idx].sum())
@@ -727,6 +778,17 @@ def stream_threshold_scan(
             n_fetch = 1
             while n_fetch < len(idxs):
                 n_fetch *= 2
+            # the stacked compaction buffer is n_fetch * tile_cap cells;
+            # past int32 range the top_k index trick breaks (ADVICE r3)
+            # — extremes fall back to the bucketed fetch below
+            use_compact_fetch = n_fetch * tile_cap < 2**31 - 1
+        if use_compact_fetch:
+            # Single-device: ONE fetch dispatch for the whole batch.
+            # The device compacts every hit tile's survivors into one
+            # dense buffer (_fetch_compact_body), so dispatch count and
+            # wire bytes are both within 2x of the physical minimum —
+            # through an RPC-relayed device the bucketed path below
+            # would pay ~0.5 s per cap bucket plus padded buffers.
             coords = [(part[t][0], part[t][1]) for t in idxs]
             coords += [(0, 0)] * (n_fetch - len(idxs))
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)

@@ -151,6 +151,24 @@ class TriangleRunner:
             )
             return
 
+        if vars_quan > heatmap_io._HOVER_CELLS_MAX:
+            # Columnar hover payload: per-cell strings are O(n^2) x ~200
+            # bytes (a 10k figure would be ~10 GB); past the reference's
+            # own practical render cap (~500x500, README.md:74) hover
+            # data ships as int16 triangle buffers + O(n) variant arrays,
+            # assembled client-side (io/heatmap.py).  Streams row blocks,
+            # never materializing the square f64 matrices.
+            self._build_heatmap_columnar(
+                cd, chrom, rows, rs_ids_srtd, poss_srtd, G, mixed_ctx,
+                src_file_base, trg_dir_path,
+            )
+            if cfg.matrix_type == "both":
+                self._write_table_streamed(
+                    G, chrom, rs_ids_srtd, poss_srtd, src_file_base,
+                    trg_dir_path, mixed_ctx=mixed_ctx,
+                )
+            return
+
         exact = (
             mixed_pair_ld(cd, cp, mixed_ctx[2], mixed_ctx[2])
             if mixed
@@ -427,3 +445,124 @@ def _write_table_streamed(
 
 TriangleRunner._hovertext_matrix = _hovertext_matrix
 TriangleRunner._write_table_streamed = _write_table_streamed
+
+
+def _build_heatmap_columnar(
+    self, cd, chrom, rows, rs_ids_srtd, poss_srtd, G, mixed_ctx,
+    src_file_base, trg_dir_path, row_block: int = 2048,
+):
+    """Streamed columnar-figure heatmap for > _HOVER_CELLS_MAX variants.
+
+    Row blocks of counts finish bit-exactly on the host and quantize to
+    int16 triangle buffers (io/heatmap.encode_q_rows) while the next
+    block's device counts are in flight; peak memory is O(row_block x V).
+    Uniform-ploidy chromosomes ship O(n) per-variant frequencies; mixed
+    (chrX) ones ship pair-dependent frequency triangles (the reference
+    divides by the pair's htypes_quan, calc_ld.py:37-44).
+    """
+    import numpy as np
+
+    from ld_tools_tpu.ops.engine import (
+        mixed_pair_ld_async,
+        pair_counts_async,
+    )
+    from ld_tools_tpu.ops.exact import exact_ld_from_counts, round4
+
+    cfg = self.config
+    n = len(rs_ids_srtd)
+    mixed = mixed_ctx is not None
+    if mixed:
+        _, cp, rows_arr = mixed_ctx
+
+        def dispatch(r0, r1):
+            return mixed_pair_ld_async(cd, cp, rows_arr[r0:r1], rows_arr[:r1])
+
+        def finish(fin):
+            return fin()
+    else:
+        n_hap = G.shape[1]
+
+        def dispatch(r0, r1):
+            return pair_counts_async(G[r0:r1], G[:r1])
+
+        def finish(fin):
+            c_ab, c1r, c1c = fin()
+            return exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+
+    # uniform values live in [-1, 1] (int16 codes); mixed cross-profile
+    # pairs follow the reference's unbounded zip-truncation math -> int32
+    qdtype = "i4" if mixed else "i2"
+    no_iz = None
+    r2_parts, dp_parts, f1_parts, f2_parts = [], [], [], []
+    starts = list(range(0, n, row_block))
+    pending = dispatch(0, min(row_block, n))
+    for bi, r0 in enumerate(starts):
+        r1 = min(r0 + row_block, n)
+        fin = pending
+        if bi + 1 < len(starts):
+            pending = dispatch(starts[bi + 1], min(starts[bi + 1] + row_block, n))
+        exact = finish(fin)
+        r2_parts.append(heatmap_io.encode_q_rows(
+            round4(exact.r_square), exact.r_square_is_int_zero, r0, r1,
+            qdtype=qdtype,
+        ))
+        dp_parts.append(heatmap_io.encode_q_rows(
+            round4(exact.d_prime), exact.d_prime_is_int_zero, r0, r1,
+            qdtype=qdtype,
+        ))
+        if mixed:
+            if no_iz is None or no_iz.shape[0] < r1 - r0:
+                no_iz = np.zeros((r1 - r0, n), dtype=bool)
+            f1_parts.append(heatmap_io.encode_q_rows(
+                round4(exact.p1), no_iz, r0, r1, qdtype=qdtype
+            ))
+            f2_parts.append(heatmap_io.encode_q_rows(
+                round4(exact.p2), no_iz, r0, r1, qdtype=qdtype
+            ))
+
+    ann = [variant_annotations(cd, r) for r in rows]
+    freq_q = None
+    if not mixed:
+        c1 = G.astype(np.int64).sum(axis=1)
+        freq_q = np.rint(
+            round4(c1 / float(G.shape[1])) * 1e4
+        ).astype(np.int64)
+    title = f"""
+defines color: {cfg.ld_measure} ░
+LD threshold: {cfg.ld_low_thres} ░
+chromosome: {chrom} ░
+genders: {", ".join(self.data.gend_names)} ░
+populations: {", ".join(self.data.pop_names)}
+"""
+    figure = heatmap_io.build_figure_columnar(
+        n=n,
+        rs_ids=rs_ids_srtd,
+        positions=poss_srtd,
+        alleles=[a[0] for a in ann],
+        types=[a[1] for a in ann],
+        measure=cfg.ld_measure,
+        thres=cfg.ld_low_thres,
+        r2_q=b"".join(r2_parts),
+        dp_q=b"".join(dp_parts),
+        color_pal=cfg.color_pal,
+        title_text=title,
+        footer_text=None if cfg.dont_disp_footer else FOOTER_TEXT,
+        square_shape=cfg.square_shape,
+        freq_q=freq_q,
+        freq1_q=b"".join(f1_parts) if mixed else None,
+        freq2_q=b"".join(f2_parts) if mixed else None,
+        qdtype=qdtype,
+    )
+    trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
+    if cfg.heatmap_json:
+        heatmap_io.write_json(
+            os.path.join(trg_dir_path, trg_file_base + ".json"), figure
+        )
+    heatmap_io.write_html(
+        os.path.join(trg_dir_path, trg_file_base + ".html"),
+        figure,
+        cfg.disp_letters,
+    )
+
+
+TriangleRunner._build_heatmap_columnar = _build_heatmap_columnar

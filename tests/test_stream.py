@@ -330,3 +330,47 @@ def test_scan_sharded_packed_input(rng):
     np.testing.assert_array_equal(got.j, ref.j)
     np.testing.assert_array_equal(got.r_square, ref.r_square)
     np.testing.assert_array_equal(got.d_prime, ref.d_prime)
+
+
+@pytest.mark.parametrize("max_dist", [None, 11])
+def test_scan_fused_block_count_interpret(rng, max_dist):
+    """The fused Pallas count kernel (per-block SMEM-accumulated tile
+    counts, ld_pallas.ld_band_count) must produce the exact hit set of
+    the XLA tile path — counts size the fetch buffers, so any mismatch
+    corrupts the hit split."""
+    G = random_haplotypes(rng, 60, 96, maf_low=0.0, maf_high=1.0)
+    G[5] = 0
+    G[9] = 1
+    kw = dict(measure="r_square", thres=0.3, exact=True,
+              max_dist=max_dist)
+    a = stream_threshold_scan(
+        G, band=16, chunk=16, use_pallas=False, **kw
+    )
+    b = stream_threshold_scan(
+        G, band=16, chunk=16, count_block=8, use_pallas=True,
+        interpret=True, **kw
+    )
+    np.testing.assert_array_equal(a.i, b.i)
+    np.testing.assert_array_equal(a.j, b.j)
+    np.testing.assert_array_equal(a.r_square, b.r_square)
+    np.testing.assert_array_equal(a.d_prime, b.d_prime)
+
+
+def test_scan_fused_block_count_f32_fallback(rng, monkeypatch):
+    """Fallback f32 mask through the fused count kernel (cohorts past the
+    int32-exact bound) still matches the XLA path."""
+    from ld_tools_tpu.ops import ld_stream as mod
+
+    monkeypatch.setattr(mod, "_EXACT_MASK_MAX_HAP", 8)
+    G = random_haplotypes(rng, 40, 64, maf_low=0.1, maf_high=0.9)
+    a = stream_threshold_scan(
+        G, measure="d_prime", thres=0.5, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    b = stream_threshold_scan(
+        G, measure="d_prime", thres=0.5, band=16, chunk=16,
+        count_block=8, use_pallas=True, interpret=True, exact=True,
+    )
+    np.testing.assert_array_equal(a.i, b.i)
+    np.testing.assert_array_equal(a.j, b.j)
+    np.testing.assert_array_equal(a.d_prime, b.d_prime)
