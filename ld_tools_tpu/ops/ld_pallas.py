@@ -124,24 +124,125 @@ def _apply_epilogue(c_ab_i32, n_ref, c1_ref, c2_ref, ipq1_ref, ipq2_ref,
             dp_ref[:] = dp
 
 
+_DEFAULT_VMEM_BUDGETS = {"heavy": 1024 * 2560, "light": 1024 * 5120}
+_vmem_budgets_cache = None
+
+
+def _vmem_cache_path() -> str:
+    import os
+
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "tpu_ld",
+    )
+    return os.path.join(cache, "vmem_budgets.json")
+
+
+def _vmem_budget_key() -> str:
+    """Budgets are empirical per (chip generation, toolchain): a Mosaic
+    update can change scoped-VMEM sizing, so cached probe results are
+    keyed by both."""
+    import jax
+    import jaxlib
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover - no devices at all
+        kind = "unknown"
+    return f"{kind}|jax{jax.__version__}|jaxlib{jaxlib.__version__}"
+
+
+def _cached_vmem_budgets() -> dict:
+    """Probed budgets for this device+toolchain (scripts/tpu_smoke.py
+    writes them via probe_vmem_budgets), or the empirical defaults."""
+    global _vmem_budgets_cache
+    if _vmem_budgets_cache is None:
+        import json
+        import os
+
+        budgets = dict(_DEFAULT_VMEM_BUDGETS)
+        try:
+            with open(_vmem_cache_path()) as fh:
+                all_cached = json.load(fh)
+            budgets.update(all_cached.get(_vmem_budget_key(), {}))
+        except (OSError, ValueError):
+            pass
+        _vmem_budgets_cache = budgets
+    return _vmem_budgets_cache
+
+
 def _int8_k_chunk(block_m: int, h_pad: int, heavy_epilogue: bool) -> int:
     """K-chunk for int8 MXU dots inside a kernel.
 
     Mosaic allocates scoped VMEM proportional to block_m x K for an int8
     matmul; a (1024, 5120) dot with the exact-order epilogue aborts
-    compilation ("scoped vmem limit exceeded").  Empirically (v5e):
-    block_m*K <= 1024*5120 compiles with the fast epilogue and
+    compilation ("scoped vmem limit exceeded").  Defaults measured on
+    v5e: block_m*K <= 1024*5120 compiles with the fast epilogue and
     <= 1024*2560 with the exact-order one; chunked dots accumulate in
-    int32 (exact).
+    int32 (exact).  A toolchain drift is caught two ways: the smoke
+    suite's probe (probe_vmem_budgets) re-measures and caches the real
+    boundary per device+toolchain, and $TPU_LD_INT8_VMEM_BUDGET
+    overrides everything for a no-code-change fix.
     """
     import os
 
-    budget = 1024 * (2560 if heavy_epilogue else 5120)
-    # compiler-version-sensitive: the budgets above are empirical against
-    # the current Mosaic; if a toolchain update changes the scoped-VMEM
-    # sizing, tune without a code change via this env var
+    budget = _cached_vmem_budgets()[
+        "heavy" if heavy_epilogue else "light"
+    ]
     budget = int(os.environ.get("TPU_LD_INT8_VMEM_BUDGET", budget))
     return max(128, min(h_pad, (budget // max(block_m, 1)) // 128 * 128))
+
+
+def probe_vmem_budgets(write_cache: bool = True) -> dict:
+    """Try-compile the int8 dot at each budget; halve until Mosaic
+    accepts.  Returns {"heavy": B, "light": B}; with ``write_cache`` the
+    result persists for _int8_k_chunk (keyed by device + toolchain).
+
+    Run from scripts/tpu_smoke.py on real hardware — a Mosaic update
+    that shrinks scoped VMEM then surfaces in the smoke run (and
+    self-heals the cache) instead of aborting a user's scan.
+    """
+    import json
+    import os
+
+    import jax
+
+    out = {}
+    for name, heavy in (("heavy", True), ("light", False)):
+        budget = _DEFAULT_VMEM_BUDGETS[name]
+        while budget >= 1024 * 128:
+            h_pad = max(128, budget // 1024 // 128 * 128)
+            try:
+                os.environ["TPU_LD_INT8_VMEM_BUDGET"] = str(budget)
+                G = jnp.zeros((1024, h_pad), dtype=jnp.int8)
+                r2, dp = ld_triangle_matrix(
+                    G, h_pad, block_m=1024, block_n=1024,
+                    epilogue="exact" if heavy else "fast",
+                    want_dprime=heavy,
+                )
+                jax.block_until_ready(r2)
+                break
+            except Exception:
+                budget //= 2
+            finally:
+                os.environ.pop("TPU_LD_INT8_VMEM_BUDGET", None)
+        out[name] = budget
+    if write_cache:
+        path = _vmem_cache_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as fh:
+                all_cached = json.load(fh)
+        except (OSError, ValueError):
+            all_cached = {}
+        all_cached[_vmem_budget_key()] = out
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(all_cached, fh, indent=1)
+        os.replace(tmp, path)
+        global _vmem_budgets_cache
+        _vmem_budgets_cache = None  # reload on next use
+    return out
 
 
 def _tri_kernel_dense(

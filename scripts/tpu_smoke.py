@@ -259,6 +259,107 @@ def main():
             continue
         failures += not record(name, ok, time.time() - t0, err)
 
+    # --- fused count pass (ld_band_count): production scan pass 1.
+    # Per-block SMEM-accumulated tile counts must equal the host's exact
+    # mask arithmetic bit-for-bit (they size the fetch buffers).
+    from ld_tools_tpu.ops.ld_pallas import exact_keep_mask, ld_band_count
+
+    cb = 512
+    v_cb = -(-V // cb) * cb
+    Gc = np.zeros((v_cb, h_pad), dtype=np.int8)
+    Gc[:V, :H] = G
+    gpc = pack_rows(Gc.astype(np.uint8))
+    c1c_ = Gc.astype(np.float32).sum(axis=1, keepdims=True)
+    pc = c1c_ / np.float32(H)
+    pqc = pc * (1 - pc)
+    ipqc_ = np.where(
+        pqc == 0, 0, 1 / np.where(pqc == 0, 1, pqc)
+    ).astype(np.float32)
+    pos_c = np.full((v_cb,), -(2**30), dtype=np.int32)
+    pos_c[:V] = np.arange(V, dtype=np.int32) * 1000
+    nbb = v_cb // cb
+    bi_l, bj_l, slot_l = [], [], []
+    for i_b in range(nbb):
+        for j_b in range(i_b + 1):
+            bi_l.append(i_b)
+            bj_l.append(j_b)
+            slot_l.append(i_b)  # one slot per block-row
+    for name, cfg in (
+        ("count_fused_dense_r2", dict(packed=False, sel=0, use_dist=False)),
+        ("count_fused_dense_dp_dist", dict(packed=False, sel=1,
+                                           use_dist=True)),
+        ("count_fused_packed_r2", dict(packed=True, sel=0, use_dist=False)),
+    ):
+        t0 = time.time()
+        thres_m = np.float32(0.3 - 5e-4)
+        max_d = 400_000
+        try:
+            counts = np.asarray(ld_band_count(
+                jnp.asarray(gpc if cfg["packed"] else Gc),
+                jnp.asarray(c1c_), jnp.asarray(ipqc_),
+                jnp.asarray(pos_c),
+                jnp.asarray(bi_l, dtype=jnp.int32),
+                jnp.asarray(bj_l, dtype=jnp.int32),
+                jnp.asarray(slot_l, dtype=jnp.int32),
+                jnp.asarray([H, max_d], dtype=jnp.int32),
+                jnp.asarray([thres_m], dtype=jnp.float32),
+                n_slots=nbb, packed=cfg["packed"], sel=cfg["sel"],
+                exact_mask=True, use_dist=cfg["use_dist"],
+                block_m=cb, block_n=cb,
+            ))
+            # host mirror: exact integer mask over the full matrix
+            import jax.numpy as _jnp
+
+            cab_full = Gc.astype(np.int64) @ Gc.T.astype(np.int64)
+            keep = np.asarray(exact_keep_mask(
+                _jnp.asarray(cab_full, dtype=_jnp.int32),
+                _jnp.asarray(c1c_), _jnp.asarray(c1c_.T),
+                _jnp.int32(H), _jnp.float32(thres_m), cfg["sel"],
+            ))
+            rows_g = np.arange(v_cb)[:, None]
+            cols_g = np.arange(v_cb)[None, :]
+            keep &= cols_g < rows_g
+            if cfg["use_dist"]:
+                keep &= np.abs(
+                    pos_c[:, None].astype(np.int64)
+                    - pos_c[None, :].astype(np.int64)
+                ) <= max_d
+            want = np.array([
+                keep[i_b * cb:(i_b + 1) * cb, : (i_b + 1) * cb].sum()
+                for i_b in range(nbb)
+            ])
+            ok = np.array_equal(counts, want)
+            err = float(np.abs(counts - want).max())
+        except Exception as e:
+            record(name, False, time.time() - t0,
+                   note=f"{type(e).__name__}: {str(e)[:160]}")
+            failures += 1
+            continue
+        failures += not record(name, ok, time.time() - t0, err)
+
+    # --- Mosaic scoped-VMEM budget probe: re-measures the compile
+    # boundary _int8_k_chunk depends on and caches it per
+    # device+toolchain, so a Mosaic drift is caught here, not by a user.
+    from ld_tools_tpu.ops.ld_pallas import (
+        _DEFAULT_VMEM_BUDGETS,
+        probe_vmem_budgets,
+    )
+
+    t0 = time.time()
+    try:
+        budgets = probe_vmem_budgets(write_cache=True)
+        drift = budgets != _DEFAULT_VMEM_BUDGETS
+        failures += not record(
+            "vmem_budget_probe", budgets["heavy"] >= 1024 * 128,
+            time.time() - t0,
+            note=f"budgets={budgets}"
+                 + (" DRIFT from defaults (cache updated)" if drift else ""),
+        )
+    except Exception as e:
+        record("vmem_budget_probe", False, time.time() - t0,
+               note=f"{type(e).__name__}: {str(e)[:160]}")
+        failures += 1
+
     out = {
         "meta": {"backend": backend, "devices": [str(d) for d in jax.devices()],
                  "v": V, "h": H,
