@@ -131,8 +131,10 @@ def _time_tpu_sweep(v: int, block: int):
     sol_s = sweep_flops / (_int8_peak_tflops() * 1e12)
 
     t0 = time.perf_counter()
-    n_attempts = 3
+    n_attempts = 9
+    n_samples = 5  # report median + min/max over independent samples
     trials = 3
+    dts = []
     for attempt in range(n_attempts):
         # distinct seeds per attempt: a retry must never replay input
         # values the relay may have memoized from the failed measurement
@@ -147,9 +149,15 @@ def _time_tpu_sweep(v: int, block: int):
         # per-sweep time faster than the MXU's speed of light);
         # remeasure rather than report an impossible rate
         if (dt > 0.95 * sol_s and times[N_HI] > times[N_LO] * 1.05):
-            return dt, n_blocks
-        _log(f"implausible timing (dt={dt*1e3:.2f}ms vs speed-of-light "
-             f"{sol_s*1e3:.2f}ms); remeasuring")
+            dts.append(dt)
+            if len(dts) >= n_samples:
+                return dts, n_blocks
+        else:
+            _log(f"implausible timing (dt={dt*1e3:.2f}ms vs speed-of-light "
+                 f"{sol_s*1e3:.2f}ms); remeasuring")
+    if dts:  # relay turbulence: report the spread we have, honestly sized
+        _log(f"only {len(dts)}/{n_samples} plausible samples")
+        return dts, n_blocks
     # never report a rate derived from garbage timings: failing here makes
     # the parent fall back to the (honestly labelled) CPU measurement
     raise RuntimeError(
@@ -175,7 +183,9 @@ def _run(on_tpu_requested):
         # MXU peak) across the 256/512/640/768/1024 sweep; 576/704 fail
         # Mosaic compilation
         block = int(os.environ.get("TPU_LD_BENCH_BLOCK", "640"))
-        dt, n_blocks = _time_tpu_sweep(v, block)
+        dts, n_blocks = _time_tpu_sweep(v, block)
+        dts = sorted(dts)
+        dt = dts[len(dts) // 2]  # median sample
         # HBM bytes: the stationary a-block is DMA'd once per row run
         # (v/block times — the pipeline skips reloading an unchanged
         # block), the b-block once per grid step, plus one f32 r^2 output
@@ -225,16 +235,23 @@ def _run(on_tpu_requested):
     baseline = measure_baseline_pairs_per_sec(N_HAP)
     _log(f"reference python kernel: {baseline:.0f} pairs/s")
 
-    print(
-        json.dumps(
-            {
-                "metric": "ld_triangle_allpairs_r2_variant_pairs_per_sec_per_chip",
-                "value": round(pairs_per_sec, 1),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / baseline, 1),
-            }
-        )
-    )
+    rec = {
+        "metric": "ld_triangle_allpairs_r2_variant_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / baseline, 1),
+    }
+    if on_tpu and len(dts) > 1:
+        # spread over independent plausible samples: value is the MEDIAN
+        # rate; min/max bound the relay/thermal run-to-run variance
+        # (VERDICT r3: a single best-of measurement quoted a lucky run)
+        rec["spread"] = {
+            "n_samples": len(dts),
+            "gpairs_per_s_median": round(pairs / dt / 1e9, 2),
+            "gpairs_per_s_min": round(pairs / max(dts) / 1e9, 2),
+            "gpairs_per_s_max": round(pairs / min(dts) / 1e9, 2),
+        }
+    print(json.dumps(rec))
 
 
 def main():

@@ -72,7 +72,8 @@ class ScanConfig:
         return mesh if mesh.size > 1 else None
 
 
-def _scan_mixed_chromosome(cd, cp, config: ScanConfig):
+def _scan_mixed_chromosome(cd, cp, config: ScanConfig,
+                           multiprocess: bool = False):
     """Mixed-ploidy (chrX) scan: segment the variant axis into maximal
     runs of one ploidy profile, triangular-scan each run with its own
     live-column layout, and sweep cross-run rectangles in dense blocks
@@ -118,6 +119,7 @@ def _scan_mixed_chromosome(cd, cp, config: ScanConfig):
             exact=True,
             checkpoint_dir=None,
             mesh=config.mesh(),
+            multiprocess=multiprocess,
         )
         parts.append((hits.i + s0, hits.j + s0, hits.r_square,
                       hits.d_prime, hits.r_square_is_int_zero,
@@ -228,8 +230,17 @@ def _scan_mixed_chromosome(cd, cp, config: ScanConfig):
     )
 
 
-def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
-    """Scan one chromosome; returns the output file path."""
+def scan_chromosome(
+    data: DataConfig, config: ScanConfig, chrom: str,
+    multiprocess: bool = False, write: bool = True,
+) -> str:
+    """Scan one chromosome; returns the output file path.
+
+    ``multiprocess=True`` (a jax.distributed job scanning ONE chromosome
+    cooperatively) splits the tile list across processes inside
+    stream_threshold_scan; every process computes the identical merged
+    hit set and only process 0 writes (``write=False`` elsewhere).
+    """
     import time
 
     import numpy as np
@@ -239,7 +250,9 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
     cp = cd.cohort_ploidy(data.sample_names)
     chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
     if chrom_groups.size > 1:
-        hits = _scan_mixed_chromosome(cd, cp, config)
+        hits = _scan_mixed_chromosome(
+            cd, cp, config, multiprocess=multiprocess
+        )
     else:
         # single ploidy profile: the scan consumes the profile's live
         # bit columns directly (full-diploid-cohort runs are zero-copy;
@@ -274,7 +287,10 @@ def scan_chromosome(data: DataConfig, config: ScanConfig, chrom: str) -> str:
             exact=True,
             checkpoint_dir=config.checkpoint_dir,
             mesh=config.mesh(),
+            multiprocess=multiprocess,
         )
+    if not write:
+        return None
     makedirs(config.trg_dir_path)
     name = (
         f"ld_scan_chr{chrom}_{config.ld_measure[0]}_"
@@ -329,15 +345,28 @@ def run(args) -> int:
     config = ScanConfig.from_args(args)
     chroms = list(config.chroms) or data.store().chroms()
 
+    import jax
+
     from ld_tools_tpu.parallel.batch import chromosomes_for_this_process
 
-    chroms = chromosomes_for_this_process(chroms)
+    # pod-scale layouts: with more chromosomes than processes, each
+    # process takes whole chromosomes (share-nothing, reference
+    # Pool-style); a multi-process job pointed at a SINGLE chromosome
+    # scans it cooperatively — tiles split across processes, hits
+    # allgathered, process 0 writes (SURVEY.md north star: variant-axis
+    # sharding across a pod slice)
+    coop = jax.process_count() > 1 and len(chroms) == 1
+    if not coop:
+        chroms = chromosomes_for_this_process(chroms)
     print("\nWhole-chromosome LD scan")
     with maybe_trace():
         t0 = datetime.datetime.now()
         n = 0
         for chrom in chroms:
-            scan_chromosome(data, config, chrom)
+            scan_chromosome(
+                data, config, chrom, multiprocess=coop,
+                write=(not coop) or jax.process_index() == 0,
+            )
             n += 1
     print(f"\tcomputation time: {datetime.datetime.now() - t0}")
     return n
