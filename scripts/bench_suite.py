@@ -306,11 +306,148 @@ def config6():
            mcells_per_s=round(V2 * V2 / 2 / dt / 1e6, 1))
 
 
+def config0gb():
+    """GB-scale ingest (VERDICT r3 next #6): stream-generate a >=1 GiB
+    BGZF fixture (1000G sample count) and measure the native scanner's
+    wall time, VCF-text MB/s, and peak RSS per thread count in a fresh
+    subprocess.  The reference's one-time prep for real 1000G data is
+    'approximately half a day' (reference README.md:73)."""
+    import subprocess
+
+    from ld_tools_tpu.ingest import synth
+
+    n_samples = 2504
+    target = 1 << 30
+    d = tempfile.mkdtemp(prefix="tpu_ld_gb_")
+    path = os.path.join(d, "1.vcf.gz")
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    n_base = 256
+    base = (
+        rng.random((n_base, 2 * n_samples))
+        < rng.uniform(0.05, 0.95, (n_base, 1))
+    ).astype(np.int8)
+    gt_lines = [synth._genotype_line_bytes(base[k]) for k in range(n_base)]
+    v = 0
+    text_bytes = 0
+    with open(path, "wb") as raw:
+        w = synth.BgzfWriter(raw, level=1)  # speed over ratio: the
+        # scanner decompresses either way, and level 1 is what keeps the
+        # fixture generation off the critical path
+        w.write(b"##fileformat=VCFv4.1\n")
+        w.write(
+            b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(f"S{i:05d}" for i in range(n_samples)).encode()
+            + b"\n"
+        )
+        while raw.tell() < target:
+            for _ in range(n_base):
+                v += 1
+                line = (
+                    f"1\t{v * 50}\trs{v}\tA\tG\t100\tPASS\tVT=SNP\tGT\t"
+                ).encode() + gt_lines[v % n_base] + b"\n"
+                w.write(line)
+                text_bytes += len(line)
+        w.close()
+    gen_s = time.time() - t0
+    size_gb = os.path.getsize(path) / 2**30
+    print(f"config0gb fixture: {size_gb:.2f} GiB BGZF, {v} variants, "
+          f"{text_bytes / 2**30:.1f} GiB text, generated in {gen_s:.0f}s")
+
+    child = (
+        "import json, os, resource, sys, time\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from ld_tools_tpu.ingest import _vcfpack_ctypes as nat\n"
+        "t0 = time.time()\n"
+        f"out = nat.scan_packed({path!r}, n_threads=int(sys.argv[1]))\n"
+        "dt = time.time() - t0\n"
+        "rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024\n"
+        "print(json.dumps({'s': dt, 'rss_mb': rss_mb,"
+        " 'v': int(out[0].shape[0]),"
+        " 'packed_mb': out[0].nbytes / 1e6}))\n"
+    )
+    for n_threads in sorted({1, 2, os.cpu_count() or 1}):
+        proc = subprocess.run(
+            [sys.executable, "-c", child, str(n_threads)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        res = json.loads(proc.stdout.strip().splitlines()[-1])
+        mbps = text_bytes / res["s"] / 1e6
+        print(
+            f"config0gb ingest nt={n_threads}: {res['s']:.0f}s, "
+            f"{mbps:.0f} MB/s VCF text, {res['v'] / res['s']:.0f} "
+            f"variants/s, peak RSS {res['rss_mb']:.0f} MB "
+            f"(packed output {res['packed_mb']:.0f} MB)"
+        )
+        record("0gb_ingest", res["s"], n_threads=n_threads,
+               bgzf_gib=round(size_gb, 2),
+               mb_per_s=round(mbps, 1),
+               variants=res["v"],
+               peak_rss_mb=round(res["rss_mb"], 1),
+               packed_mb=round(res["packed_mb"], 1))
+
+
+def config6c():
+    """10k-variant COLUMNAR heatmap (VERDICT r3 next #5): O(n^2) int16
+    numbers + O(n) strings, streamed row blocks, target <= ~30 s."""
+    import types as _t
+
+    from ld_tools_tpu.tools.triangle import TriangleConfig, TriangleRunner
+
+    rng = np.random.default_rng(66)
+    n_hap = 5008
+    V = 10_000
+    G = (
+        rng.random((V, n_hap)) < rng.uniform(0.05, 0.95, (V, 1))
+    ).astype(np.int8)
+    rs = [f"rs{i}" for i in range(V)]
+    poss = list(range(10_000, 10_000 + V))
+    cfg = TriangleConfig(
+        src_dir_path=".", trg_top_dir_path=".", meta_lines_quan=0,
+        ld_measure="r_square", ld_low_thres=None, matrix_type="heatmap",
+        heatmap_json=True, disp_letters=False, color_pal="greens",
+        font_size=None, square_shape=False, dont_disp_footer=False,
+    )
+    self = _t.SimpleNamespace(
+        config=cfg,
+        data=_t.SimpleNamespace(pop_names=("ALL",),
+                                gend_names=("male", "female")),
+    )
+
+    class _CD:
+        def annotation(self, name):
+            return _ANN
+
+    _ANN = np.asarray(["A"] * V)
+    out_dir = tempfile.mkdtemp(prefix="tpu_ld_hm10k_")
+    # warm the device kernels outside the timed region
+    TriangleRunner._build_heatmap_columnar(
+        self, _CD(), "0", list(range(600)), rs[:600], poss[:600],
+        G[:600], None, "warm", out_dir,
+    )
+    for label in ("6c_heatmap_columnar_10k", "6c_heatmap_columnar_10k_warm"):
+        t0 = time.time()
+        TriangleRunner._build_heatmap_columnar(
+            self, _CD(), "21", list(range(V)), rs, poss, G, None,
+            "hm10k", out_dir,
+        )
+        dt = time.time() - t0
+        html_mb = os.path.getsize(
+            os.path.join(out_dir, "hm10k_chr21_r.html")) / 1e6
+        print(
+            f"config{label}: {dt:.1f}s, {html_mb:.0f} MB HTML "
+            f"({V * V / 2 / dt / 1e6:.0f} Mcells/s)"
+        )
+        record(label, dt, html_mb=round(html_mb, 1),
+               mcells_per_s=round(V * V / 2 / dt / 1e6, 1))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--configs", default="0,1,2,3,4,5,6",
-        help="comma list of config numbers to run",
+        "--configs", default="0,1,2,3,4,5,6,6c",
+        help="comma list of config numbers to run (0gb opt-in)",
     )
     parser.add_argument("--out", default=None,
                         help="write the JSON artifact here")
@@ -329,8 +466,9 @@ def main():
         ),
     }
     print(f"bench_suite backend={meta['backend']}")
-    table = {"0": config0, "1": config1, "2": config2, "3": config3,
-             "4": config4, "5": config5, "6": config6}
+    table = {"0": config0, "0gb": config0gb, "1": config1, "2": config2,
+             "3": config3, "4": config4, "5": config5, "6": config6,
+             "6c": config6c}
     for c in args.configs.split(","):
         table[c.strip()]()
     if args.out:
