@@ -364,21 +364,24 @@ def _block_count_phase(
     part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev, n_haplotypes,
     margin_thres, max_dist, *, band, chunk, count_block, packed,
     exact_mask, sel, use_dist, interpret,
-) -> np.ndarray:
+):
     """Pass 1 via the fused Pallas count kernel (ld_pallas.ld_band_count).
 
     Tiles are exploded into count_block x count_block blocks with
     block-level triangle and distance pruning (finer than the host's
     tile-level pruning, so diagonal-straddling tiles no longer pay for
-    their fully-above-diagonal blocks).  Every block carries its tile's
-    output slot; the kernel accumulates per-tile hit counts in SMEM and
-    only n_tiles int32s leave the device.  Bit-identical to the XLA tile
+    their fully-above-diagonal blocks).  Counts come back per BLOCK
+    (n_blocks int32s on the wire) so the fetch pass can then touch only
+    hit BLOCKS — a ~20x smaller compaction/matmul area than hit tiles
+    when hits cluster (the genomic norm).  Bit-identical to the XLA tile
     path (_count_tiles_body): both derive keep from exact_keep_mask over
     the same integer counts and global coordinates.
+
+    Returns (block_coords [(row0, col0) global], block_counts np.int64).
     """
     nbm = band // count_block
     nbn = chunk // count_block
-    bi_l, bj_l, slot_l = [], [], []
+    bi_l, bj_l = [], []
     for t_local in range(n_valid):
         r0, c0 = part[t_local]
         base_i = r0 // count_block
@@ -398,15 +401,13 @@ def _block_count_phase(
                         continue
                 bi_l.append(base_i + di)
                 bj_l.append(base_j + dj)
-                slot_l.append(t_local)
     n_real = len(bi_l)
     target = 1
-    while target < n_real:
+    while target < max(n_real, 1):
         target *= 2
-    trash = len(part)  # slot past every real tile
+    slot_l = list(range(n_real)) + [n_real] * (target - n_real)
     bi_l += [0] * (target - n_real)
     bj_l += [0] * (target - n_real)
-    slot_l += [trash] * (target - n_real)
     counts = np.asarray(ld_band_count(
         g_dev, c1_dev, ipq_dev, pos_dev,
         jnp.asarray(bi_l, dtype=jnp.int32),
@@ -416,12 +417,16 @@ def _block_count_phase(
             [n_haplotypes, max_dist if use_dist else 0], dtype=jnp.int32
         ),
         jnp.asarray([margin_thres], dtype=jnp.float32),
-        n_slots=len(part) + 1,
+        n_slots=target + 1,
         packed=packed, sel=sel, exact_mask=exact_mask,
         use_dist=use_dist, block_m=count_block, block_n=count_block,
         interpret=interpret,
-    ))[: len(part)]
-    return counts
+    ))[:n_real].astype(np.int64)
+    coords = [
+        (bi_l[k] * count_block, bj_l[k] * count_block)
+        for k in range(n_real)
+    ]
+    return coords, counts
 
 
 _count_tiles_batch = functools.partial(
@@ -451,7 +456,8 @@ _fetch_compact_batch = functools.partial(
 
 @functools.lru_cache(maxsize=None)
 def _sharded_tile_fns(mesh, **static):
-    """(count_fn, fetch_fn(cap)) with the TILE axis sharded over ``mesh``.
+    """(count_fn, fetch_fn(cap), fetch_compact_fn(tile_cap, total_cap))
+    with the TILE axis sharded over ``mesh``.
 
     G / c1 / pos / scalars replicate to every device; each device scans
     its contiguous slice of the tile list independently (the same
@@ -878,35 +884,44 @@ def stream_threshold_scan(
             counts = np.asarray(count_fn(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
             ))
+            fetch_part, fetch_counts = part, counts
+            fetch_chunk, common_f = chunk, common
         elif use_block_count:
-            counts = _block_count_phase(
+            # per-BLOCK counts: the fetch below touches only hit BLOCKS
+            # (count_block square), a far smaller compaction/matmul area
+            # than hit tiles when hits cluster near the diagonal
+            fetch_part, fetch_counts = _block_count_phase(
                 part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev,
                 n_haplotypes, margin_thres, max_dist,
                 band=band, chunk=chunk, count_block=count_block,
                 packed=packed, exact_mask=common["exact_mask"], sel=sel,
                 use_dist=use_dist, interpret=interpret,
             )
+            fetch_chunk = count_block
+            common_f = dict(common, band=count_block, chunk=count_block)
         else:
             counts = np.asarray(_count_tiles_batch(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
                 **common
             ))
+            fetch_part, fetch_counts = part, counts
+            fetch_chunk, common_f = chunk, common
         stats["count_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         batch_hits = {name: [] for name in hits}
-        hit_idx = np.nonzero(counts > 0)[0]
-        too_big = hit_idx[counts[hit_idx] > cap_per_tile]
+        hit_idx = np.nonzero(fetch_counts > 0)[0]
+        too_big = hit_idx[fetch_counts[hit_idx] > cap_per_tile]
         if too_big.size:
             t_idx = int(too_big[0])
             raise RuntimeError(
-                f"tile {part[t_idx]}: {int(counts[t_idx])} hits > "
-                f"cap_per_tile {cap_per_tile}; raise cap_per_tile"
+                f"tile {fetch_part[t_idx]}: {int(fetch_counts[t_idx])} "
+                f"hits > cap_per_tile {cap_per_tile}; raise cap_per_tile"
             )
         use_compact_fetch = False
         if n_shards == 1 and hit_idx.size:
             idxs = [int(t) for t in hit_idx]
-            max_cnt = int(counts[hit_idx].max())
-            total = int(counts[hit_idx].sum())
+            max_cnt = int(fetch_counts[hit_idx].max())
+            total = int(fetch_counts[hit_idx].sum())
             tile_cap = max(1024, 1 << (max_cnt - 1).bit_length())
             total_cap = max(1024, 1 << (total - 1).bit_length())
             n_fetch = 1
@@ -923,7 +938,7 @@ def stream_threshold_scan(
             # wire bytes are both within 2x of the physical minimum —
             # through an RPC-relayed device the bucketed path below
             # would pay ~0.5 s per cap bucket plus padded buffers.
-            coords = [(part[t][0], part[t][1]) for t in idxs]
+            coords = [(fetch_part[t][0], fetch_part[t][1]) for t in idxs]
             coords += [(0, 0)] * (n_fetch - len(idxs))
             r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
             c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
@@ -933,29 +948,29 @@ def stream_threshold_scan(
             out = _fetch_compact_batch(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f, valid_f,
                 *scalars, tile_cap=tile_cap, total_cap=total_cap,
-                want=want, **common
+                want=want, **common_f
             )
             idx_flat, *val_flats = (np.asarray(a) for a in out)
             # hits are flattened in tile order; pass 1's counts give the
             # split boundaries (both passes share the same traced mask)
             bounds = np.concatenate(
-                ([0], np.cumsum(counts[idxs].astype(np.int64)))
+                ([0], np.cumsum(fetch_counts[idxs].astype(np.int64)))
             )
             for k, t_idx in enumerate(idxs):
                 lo, hi = int(bounds[k]), int(bounds[k + 1])
-                r0, c0 = part[t_idx]
+                r0, c0 = fetch_part[t_idx]
                 idx_k = idx_flat[lo:hi].astype(np.int64)
-                ii = idx_k // chunk + r0
-                jj = idx_k % chunk + c0
+                ii = idx_k // fetch_chunk + r0
+                jj = idx_k % fetch_chunk + c0
                 ok = (ii < v) & (jj < v)  # drop padding-row pairs
                 batch_hits["i"].append(ii[ok])
                 batch_hits["j"].append(jj[ok])
                 for name, buf in zip(want, val_flats):
                     batch_hits[name].append(buf[lo:hi][ok])
         elif n_shards > 1 and hit_idx.size and _mesh_compact_fetch(
-            fetch_compact_factory, part, counts, hit_idx, n_shards,
-            g_dev, c1_dev, ipq_dev, pos_dev, scalars, want, chunk, v,
-            batch_hits,
+            fetch_compact_factory, fetch_part, fetch_counts, hit_idx,
+            n_shards, g_dev, c1_dev, ipq_dev, pos_dev, scalars, want,
+            fetch_chunk, v, batch_hits,
         ):
             # Mesh port of the single-device dense compaction: each
             # device compacts its contiguous tile slice into one buffer
@@ -972,7 +987,7 @@ def stream_threshold_scan(
             # compile, cached persistently across batches and runs.
             buckets = {}
             for t in hit_idx:
-                cap = max(1024, 1 << (int(counts[t]) - 1).bit_length())
+                cap = max(1024, 1 << (int(fetch_counts[t]) - 1).bit_length())
                 buckets.setdefault(cap, []).append(int(t))
             for cap, idxs in sorted(buckets.items()):
                 # pad the tile list to n_shards x power of two as well
@@ -981,7 +996,7 @@ def stream_threshold_scan(
                 n_fetch = n_shards
                 while n_fetch < len(idxs):
                     n_fetch *= 2
-                coords = [(part[t][0], part[t][1]) for t in idxs]
+                coords = [(fetch_part[t][0], fetch_part[t][1]) for t in idxs]
                 coords += [(0, 0)] * (n_fetch - len(idxs))
                 r0s_f = jnp.asarray([c[0] for c in coords], dtype=jnp.int32)
                 c0s_f = jnp.asarray([c[1] for c in coords], dtype=jnp.int32)
@@ -993,15 +1008,15 @@ def stream_threshold_scan(
                 else:
                     out = _fetch_tiles_batch(
                         g_dev, c1_dev, ipq_dev, pos_dev, r0s_f, c0s_f,
-                        *scalars, cap=cap, want=want, **common
+                        *scalars, cap=cap, want=want, **common_f
                     )
                 idx_b, *val_bufs = (np.asarray(a) for a in out)
                 for k, t_idx in enumerate(idxs):
-                    count = int(counts[t_idx])
-                    r0, c0 = part[t_idx]
+                    count = int(fetch_counts[t_idx])
+                    r0, c0 = fetch_part[t_idx]
                     idx_k = idx_b[k, :count].astype(np.int64)
-                    ii = idx_k // chunk + r0
-                    jj = idx_k % chunk + c0
+                    ii = idx_k // fetch_chunk + r0
+                    jj = idx_k % fetch_chunk + c0
                     ok = (ii < v) & (jj < v)  # drop padding-row pairs
                     batch_hits["i"].append(ii[ok])
                     batch_hits["j"].append(jj[ok])
