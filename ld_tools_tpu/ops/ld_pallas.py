@@ -984,21 +984,15 @@ def _band_count_kernel(
         dist = jnp.abs(posa_ref[:] - posb_ref[:].T)
         keep &= dist <= ni_ref[1]
     cnt = jnp.sum(keep.astype(jnp.int32))
-    # the output is the WHOLE (n_slots, 1) SMEM array, revisited by every
-    # grid step (Mosaic requires sub-(8,128) blocks to equal the array):
-    # zero it once, then scatter-accumulate into this block's tile slot
-    n_slots = cnt_ref.shape[0]
-
-    @pl.when(k == 0)
-    def _zero():
-        def body(s, carry):
-            cnt_ref[s, 0] = 0
-            return carry
-
-        jax.lax.fori_loop(0, n_slots, body, 0)
-
+    # the output is the WHOLE SMEM count array, revisited by every grid
+    # step (Mosaic requires sub-(8,128) blocks to equal the array), laid
+    # out 128 slots per row: the SMEM allocator charges ~512 B per ROW,
+    # so a flat (n_slots, 1) shape blows the 1 MB budget past ~2k slots.
+    # Every real block owns a distinct slot (pad blocks share the trash
+    # slot; last write wins and the caller slices it off), so this is a
+    # plain scalar store — no init pass, no accumulation.
     slot = tile_ref[k]
-    cnt_ref[slot, 0] = cnt_ref[slot, 0] + cnt
+    cnt_ref[slot // 128, slot % 128] = cnt
 
 
 @functools.partial(
@@ -1028,14 +1022,15 @@ def ld_band_count(
     block_n: int = 640,
     interpret: bool = False,
 ):
-    """Per-tile hit counts for a scalar-prefetched list of blocks.
+    """Per-block hit counts for a scalar-prefetched list of blocks.
 
-    ``bi``/``bj`` are block coordinates into the padded resident matrix,
-    grouped so that every run of equal ``tile_idx`` is consecutive;
-    ``tile_idx[k]`` is the output slot block k accumulates into (pad
-    blocks can point at a trash slot).  Returns (n_slots,) int32.
+    ``bi``/``bj`` are block coordinates into the padded resident matrix;
+    ``tile_idx[k]`` is the output slot block k writes (one DISTINCT slot
+    per real block; pad blocks point at a shared trash slot).  Returns
+    (n_slots,) int32 — slots no real block wrote are undefined.
     """
     n_blocks = bi.shape[0]
+    n_rows = -(-n_slots // 128)
     pos_col = pos_dev.reshape(-1, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1072,7 +1067,7 @@ def ld_band_count(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_slots, 1), lambda k, bi, bj, t, pi, pf: (0, 0),
+            pl.BlockSpec((n_rows, 128), lambda k, bi, bj, t, pi, pf: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
     )
@@ -1084,7 +1079,7 @@ def ld_band_count(
             block_m=block_m, block_n=block_n,
         ),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_slots, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((n_rows, 128), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_blocks * block_m * block_n * h_macs,
             bytes_accessed=(
@@ -1098,7 +1093,7 @@ def ld_band_count(
         interpret=interpret,
     )(bi, bj, tile_idx, params_i, params_f,
       g_dev, g_dev, c1_dev, c1_dev, ipq_dev, ipq_dev, pos_col, pos_col)
-    return cnt[:, 0]
+    return cnt.reshape(-1)[:n_slots]
 
 
 def _band_ipq(c1, n_haplotypes):

@@ -283,7 +283,7 @@ def main():
         for j_b in range(i_b + 1):
             bi_l.append(i_b)
             bj_l.append(j_b)
-            slot_l.append(i_b)  # one slot per block-row
+            slot_l.append(len(slot_l))  # one distinct slot per block
     for name, cfg in (
         ("count_fused_dense_r2", dict(packed=False, sel=0, use_dist=False)),
         ("count_fused_dense_dp_dist", dict(packed=False, sel=1,
@@ -303,7 +303,7 @@ def main():
                 jnp.asarray(slot_l, dtype=jnp.int32),
                 jnp.asarray([H, max_d], dtype=jnp.int32),
                 jnp.asarray([thres_m], dtype=jnp.float32),
-                n_slots=nbb, packed=cfg["packed"], sel=cfg["sel"],
+                n_slots=len(slot_l), packed=cfg["packed"], sel=cfg["sel"],
                 exact_mask=True, use_dist=cfg["use_dist"],
                 block_m=cb, block_n=cb,
             ))
@@ -325,8 +325,9 @@ def main():
                     - pos_c[None, :].astype(np.int64)
                 ) <= max_d
             want = np.array([
-                keep[i_b * cb:(i_b + 1) * cb, : (i_b + 1) * cb].sum()
-                for i_b in range(nbb)
+                keep[bi_l[k] * cb:(bi_l[k] + 1) * cb,
+                     bj_l[k] * cb:(bj_l[k] + 1) * cb].sum()
+                for k in range(len(slot_l))
             ])
             ok = np.array_equal(counts, want)
             err = float(np.abs(counts - want).max())
