@@ -311,7 +311,7 @@ def main():
             import jax.numpy as _jnp
 
             cab_full = Gc.astype(np.int64) @ Gc.T.astype(np.int64)
-            keep = np.asarray(exact_keep_mask(
+            keep = np.array(exact_keep_mask(
                 _jnp.asarray(cab_full, dtype=_jnp.int32),
                 _jnp.asarray(c1c_), _jnp.asarray(c1c_.T),
                 _jnp.int32(H), _jnp.float32(thres_m), cfg["sel"],
