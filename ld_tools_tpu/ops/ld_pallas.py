@@ -995,14 +995,7 @@ def _band_count_kernel(
     cnt_ref[slot // 128, slot % 128] = cnt
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_slots", "packed", "sel", "exact_mask", "use_dist", "block_m",
-        "block_n", "interpret",
-    ),
-)
-def ld_band_count(
+def _band_count_call(
     g_dev,
     c1_dev,
     ipq_dev,
@@ -1094,6 +1087,40 @@ def ld_band_count(
     )(bi, bj, tile_idx, params_i, params_f,
       g_dev, g_dev, c1_dev, c1_dev, ipq_dev, ipq_dev, pos_col, pos_col)
     return cnt.reshape(-1)[:n_slots]
+
+
+ld_band_count = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_slots", "packed", "sel", "exact_mask", "use_dist", "block_m",
+        "block_n", "interpret",
+    ),
+)(_band_count_call)
+
+
+@functools.lru_cache(maxsize=None)
+def ld_band_count_sharded(mesh, **static):
+    """shard_map variant of ld_band_count: the BLOCK list splits into
+    contiguous per-device slices (same share-nothing decomposition as
+    the tile-sharded fetch); each device runs the fused count kernel on
+    its slice and per-device slot arrays concatenate on the host."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    rep = P()
+    tile = P(axis)
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_band_count_call, **static),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, tile, tile, tile, rep, rep),
+            out_specs=tile,
+            # pallas_call outputs carry no varying-mesh-axes annotation;
+            # every shard writes only its own slot slice, so the check
+            # adds nothing here
+            check_vma=False,
+        )
+    )
 
 
 def _band_ipq(c1, n_haplotypes):

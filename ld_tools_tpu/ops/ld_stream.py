@@ -363,7 +363,7 @@ def _fetch_compact_body(
 def _block_count_phase(
     part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev, n_haplotypes,
     margin_thres, max_dist, *, band, chunk, count_block, packed,
-    exact_mask, sel, use_dist, interpret,
+    exact_mask, sel, use_dist, interpret, mesh=None,
 ):
     """Pass 1 via the fused Pallas count kernel (ld_pallas.ld_band_count).
 
@@ -402,26 +402,58 @@ def _block_count_phase(
                 bi_l.append(base_i + di)
                 bj_l.append(base_j + dj)
     n_real = len(bi_l)
-    target = 1
-    while target < max(n_real, 1):
-        target *= 2
-    slot_l = list(range(n_real)) + [n_real] * (target - n_real)
-    bi_l += [0] * (target - n_real)
-    bj_l += [0] * (target - n_real)
-    counts = np.asarray(ld_band_count(
-        g_dev, c1_dev, ipq_dev, pos_dev,
-        jnp.asarray(bi_l, dtype=jnp.int32),
-        jnp.asarray(bj_l, dtype=jnp.int32),
-        jnp.asarray(slot_l, dtype=jnp.int32),
-        jnp.asarray(
-            [n_haplotypes, max_dist if use_dist else 0], dtype=jnp.int32
-        ),
-        jnp.asarray([margin_thres], dtype=jnp.float32),
-        n_slots=target + 1,
+    params_i = jnp.asarray(
+        [n_haplotypes, max_dist if use_dist else 0], dtype=jnp.int32
+    )
+    params_f = jnp.asarray([margin_thres], dtype=jnp.float32)
+    static = dict(
         packed=packed, sel=sel, exact_mask=exact_mask,
         use_dist=use_dist, block_m=count_block, block_n=count_block,
         interpret=interpret,
-    ))[:n_real].astype(np.int64)
+    )
+    if mesh is None:
+        target = 1
+        while target < max(n_real, 1):
+            target *= 2
+        slot_l = list(range(n_real)) + [n_real] * (target - n_real)
+        pad = target - n_real
+        counts = np.asarray(ld_band_count(
+            g_dev, c1_dev, ipq_dev, pos_dev,
+            jnp.asarray(bi_l + [0] * pad, dtype=jnp.int32),
+            jnp.asarray(bj_l + [0] * pad, dtype=jnp.int32),
+            jnp.asarray(slot_l, dtype=jnp.int32),
+            params_i, params_f, n_slots=target + 1, **static,
+        ))[:n_real].astype(np.int64)
+    else:
+        # mesh: contiguous per-device block slices, per-device local
+        # slot arrays, counts concatenated back into global block order
+        from ld_tools_tpu.ops.ld_pallas import ld_band_count_sharded
+
+        n_sh = int(mesh.size)
+        loc = 1
+        while n_sh * loc < max(n_real, 1):
+            loc *= 2
+        total = n_sh * loc
+        pad = total - n_real
+        slot_l = [
+            (k - (k // loc) * loc) if k < n_real else loc
+            for k in range(total)
+        ]
+        fn = ld_band_count_sharded(mesh, n_slots=loc + 1, **static)
+        out = np.asarray(fn(
+            g_dev, c1_dev, ipq_dev, pos_dev,
+            jnp.asarray(bi_l + [0] * pad, dtype=jnp.int32),
+            jnp.asarray(bj_l + [0] * pad, dtype=jnp.int32),
+            jnp.asarray(slot_l, dtype=jnp.int32),
+            params_i, params_f,
+        ))
+        pieces = []
+        for sh in range(n_sh):
+            real = min(loc, max(0, n_real - sh * loc))
+            pieces.append(out[sh * (loc + 1): sh * (loc + 1) + real])
+        counts = np.concatenate(pieces).astype(np.int64) if pieces else (
+            np.zeros((0,), dtype=np.int64)
+        )
     coords = [
         (bi_l[k] * count_block, bj_l[k] * count_block)
         for k in range(n_real)
@@ -873,20 +905,10 @@ def stream_threshold_scan(
         # a block and fall back to the XLA tile path)
         use_block_count = (
             use_pallas
-            and n_shards == 1
             and band % count_block == 0
             and chunk % count_block == 0
         )
-        if n_shards > 1:
-            count_fn, fetch_factory, fetch_compact_factory = (
-                _sharded_tile_fns(mesh, **common)
-            )
-            counts = np.asarray(count_fn(
-                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
-            ))
-            fetch_part, fetch_counts = part, counts
-            fetch_chunk, common_f = chunk, common
-        elif use_block_count:
+        if use_block_count:
             # per-BLOCK counts: the fetch below touches only hit BLOCKS
             # (count_block square), a far smaller compaction/matmul area
             # than hit tiles when hits cluster near the diagonal
@@ -896,9 +918,23 @@ def stream_threshold_scan(
                 band=band, chunk=chunk, count_block=count_block,
                 packed=packed, exact_mask=common["exact_mask"], sel=sel,
                 use_dist=use_dist, interpret=interpret,
+                mesh=mesh if n_shards > 1 else None,
             )
             fetch_chunk = count_block
             common_f = dict(common, band=count_block, chunk=count_block)
+            if n_shards > 1:
+                _, fetch_factory, fetch_compact_factory = (
+                    _sharded_tile_fns(mesh, **common_f)
+                )
+        elif n_shards > 1:
+            count_fn, fetch_factory, fetch_compact_factory = (
+                _sharded_tile_fns(mesh, **common)
+            )
+            counts = np.asarray(count_fn(
+                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
+            ))
+            fetch_part, fetch_counts = part, counts
+            fetch_chunk, common_f = chunk, common
         else:
             counts = np.asarray(_count_tiles_batch(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,

@@ -374,3 +374,25 @@ def test_scan_fused_block_count_f32_fallback(rng, monkeypatch):
     np.testing.assert_array_equal(a.i, b.i)
     np.testing.assert_array_equal(a.j, b.j)
     np.testing.assert_array_equal(a.d_prime, b.d_prime)
+
+
+@pytest.mark.parametrize("n_devices", [2, 4])
+def test_scan_sharded_mesh_fused_block_count_interpret(rng, n_devices):
+    """Mesh + fused Pallas count kernel (ld_band_count_sharded) + block-
+    granular fetch must reproduce the single-device XLA scan exactly."""
+    from ld_tools_tpu.ops.ld_stream import scan_mesh
+
+    G = random_haplotypes(rng, 60, 64, maf_low=0.05, maf_high=0.95)
+    G[3] = 0
+    pos = np.sort(rng.choice(10**6, size=60, replace=False)).astype(np.int64)
+    kw = dict(pos=pos, measure="r_square", thres=0.3, band=16, chunk=16,
+              exact=True, max_dist=600_000)
+    ref = stream_threshold_scan(G, use_pallas=False, **kw)
+    got = stream_threshold_scan(
+        G, mesh=scan_mesh(n_devices), use_pallas=True, interpret=True,
+        count_block=8, **kw,
+    )
+    np.testing.assert_array_equal(got.i, ref.i)
+    np.testing.assert_array_equal(got.j, ref.j)
+    np.testing.assert_array_equal(got.r_square, ref.r_square)
+    np.testing.assert_array_equal(got.d_prime, ref.d_prime)
