@@ -306,6 +306,50 @@ def config6():
            mcells_per_s=round(V2 * V2 / 2 / dt / 1e6, 1))
 
 
+def config4c():
+    """chr2-scale scan (204,800 variants, 2.1e10 pairs): amortizes the
+    per-scan dispatch/upload constants that dominate the chr21 count
+    phase (the fused count kernel itself runs at ~34 Gpairs/s)."""
+    import jax
+
+    from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
+
+    rng = np.random.default_rng(42)
+    V, H = 204_800, 5008
+    blk = 64
+    base = (
+        rng.random((V // blk, H))
+        < rng.uniform(0.05, 0.95, size=(V // blk, 1))
+    ).astype(np.int8)
+    G = np.repeat(base, blk, axis=0)
+    G = np.where(rng.random(G.shape) < 0.02, 1 - G, G).astype(np.int8)
+    pos = np.sort(
+        rng.choice(240_000_000, size=V, replace=False)
+    ).astype(np.int64)
+    gp = np.packbits(G.astype(np.uint8), axis=1)
+    pairs = V * (V - 1) / 2
+    use_pallas = jax.default_backend() not in ("cpu",)
+    for warm in (False, True):
+        t0 = time.time()
+        hits = stream_threshold_scan(
+            G_packed=gp, n_haplotypes=H, pos=pos,
+            measure="r_square", thres=0.8, use_pallas=use_pallas,
+            exact=True,
+        )
+        dt = time.time() - t0
+        label = "4c_chr2_scan_200k" + ("_warm" if warm else "")
+        phases = {k: round(s, 2) for k, s in (hits.stats or {}).items()}
+        count_rate = pairs / max(hits.stats["count_s"], 1e-9) / 1e9
+        print(
+            f"config{label}: {dt:.1f}s, {pairs / dt / 1e9:.1f} Gpairs/s "
+            f"end-to-end, count phase {count_rate:.1f} Gpairs/s, "
+            f"{len(hits.i)} hits, phases={phases}"
+        )
+        record(label, dt, gpairs_per_s=round(pairs / dt / 1e9, 2),
+               count_gpairs_per_s=round(count_rate, 1),
+               hits=len(hits.i), phases=phases)
+
+
 def config0gb():
     """GB-scale ingest (VERDICT r3 next #6): stream-generate a >=1 GiB
     BGZF fixture (1000G sample count) and measure the native scanner's
@@ -467,7 +511,7 @@ def main():
     }
     print(f"bench_suite backend={meta['backend']}")
     table = {"0": config0, "0gb": config0gb, "1": config1, "2": config2,
-             "3": config3, "4": config4, "5": config5, "6": config6,
+             "3": config3, "4": config4, "4c": config4c, "5": config5, "6": config6,
              "6c": config6c}
     for c in args.configs.split(","):
         table[c.strip()]()
