@@ -280,3 +280,58 @@ def mixed_pair_ld_async(chrom_data, cohort_ploidy, rows1, rows2):
 
 def mixed_pair_ld(chrom_data, cohort_ploidy, rows1, rows2) -> MixedExactLD:
     return mixed_pair_ld_async(chrom_data, cohort_ploidy, rows1, rows2)()
+
+
+@functools.partial(jax.jit, static_argnames=("rows_pad", "cols_pad"))
+def _resident_counts_kernel(g, r0, *, rows_pad, cols_pad):
+    a = jax.lax.dynamic_slice(g, (r0, 0), (rows_pad, g.shape[1]))
+    b = jax.lax.dynamic_slice(g, (0, 0), (cols_pad, g.shape[1]))
+    c_ab = haplotype_counts_int8(a, b)
+    if g.shape[1] < 32768:
+        c_ab = c_ab.astype(jnp.int16)
+    return c_ab, allele_counts(a), allele_counts(b)
+
+
+class ResidentCounts:
+    """Device-resident G for repeated (row block) x (column prefix) counts.
+
+    The streamed triangle writers used to call
+    ``pair_counts_async(G[r0:r1], G[:r1])`` per block — re-uploading the
+    ever-growing column prefix every call, ~n^2/2 bytes total through a
+    slow host<->device link (166 MB for a 10k matrix).  Here G uploads
+    ONCE (padded); each block is two on-device dynamic slices feeding
+    the same int8 count kernel.  Block shapes round up to ``block_pad``
+    so the handful of (rows_pad, cols_pad) combinations reuse a few
+    compiled programs.
+    """
+
+    def __init__(self, G: np.ndarray, block_pad: int = 2048,
+                 hap_pad: int = 512):
+        G = np.ascontiguousarray(G, dtype=np.int8)
+        v, h = G.shape
+        self._v, self._h = v, h
+        self._block_pad = block_pad
+        h_p = _round_up(max(h, 1), hap_pad)
+        v_p = _round_up(max(v, 1), block_pad)
+        gp = np.zeros((v_p, h_p), dtype=np.int8)
+        gp[:v, :h] = G
+        self._g = jnp.asarray(gp)
+
+    def block_async(self, r0: int, r1: int, c_hi: int):
+        """Dispatch counts for rows [r0, r1) x cols [0, c_hi); returns
+        ``finalize() -> (c_ab, c1_rows, c1_cols)`` trimmed numpy."""
+        rows_pad = _round_up(max(r1 - r0, 1), self._block_pad)
+        cols_pad = _round_up(max(c_hi, 1), self._block_pad)
+        out = _resident_counts_kernel(
+            self._g, r0, rows_pad=rows_pad, cols_pad=cols_pad
+        )
+
+        def finalize():
+            c_ab, c1r, c1c = out
+            return (
+                np.asarray(c_ab)[: r1 - r0, :c_hi],
+                np.asarray(c1r)[: r1 - r0],
+                np.asarray(c1c)[:c_hi],
+            )
+
+        return finalize

@@ -388,9 +388,21 @@ def _write_table_streamed(
             return fin()
     else:
         n_hap = G.shape[1]
+        if n > 2 * row_block:
+            # large matrices: upload G ONCE and slice blocks on device —
+            # per-block pair_counts_async would re-upload the growing
+            # column prefix every call (~n^2/2 bytes through a slow
+            # host<->device link; 166 MB at 10k variants)
+            from ld_tools_tpu.ops.engine import ResidentCounts
 
-        def dispatch(r0, r1):
-            return pair_counts_async(G[r0:r1], G[:r1])
+            resident = ResidentCounts(G, block_pad=row_block)
+
+            def dispatch(r0, r1):
+                return resident.block_async(r0, r1, r1)
+        else:
+
+            def dispatch(r0, r1):
+                return pair_counts_async(G[r0:r1], G[:r1])
 
         def finish(fin):
             c_ab, c1r, c1c = fin()
@@ -481,9 +493,19 @@ def _build_heatmap_columnar(
             return fin()
     else:
         n_hap = G.shape[1]
+        if n > 2 * row_block:
+            # upload G once, slice blocks on device (see
+            # _write_table_streamed for the transfer arithmetic)
+            from ld_tools_tpu.ops.engine import ResidentCounts
 
-        def dispatch(r0, r1):
-            return pair_counts_async(G[r0:r1], G[:r1])
+            resident = ResidentCounts(G, block_pad=row_block)
+
+            def dispatch(r0, r1):
+                return resident.block_async(r0, r1, r1)
+        else:
+
+            def dispatch(r0, r1):
+                return pair_counts_async(G[r0:r1], G[:r1])
 
         def finish(fin):
             c_ab, c1r, c1c = fin()

@@ -204,3 +204,30 @@ def test_columnar_mixed_chrx_pair_freqs(xenv, tmp_path, monkeypatch):
             if len(gl[order[i]]) != len(gl[order[j]]):
                 cross += 1
     assert cross > 0
+
+
+def test_columnar_resident_blocks_match_default(env, tmp_path, monkeypatch):
+    """Tiny row blocks force the device-resident slicing path
+    (engine.ResidentCounts); the figure must be byte-identical."""
+    from ld_tools_tpu.tools.triangle import TriangleRunner
+
+    monkeypatch.setattr(heatmap_io, "_HOVER_CELLS_MAX", 4)
+    orig = TriangleRunner._build_heatmap_columnar
+
+    def tiny_blocks(self, *a, **kw):
+        kw["row_block"] = 4
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        TriangleRunner, "_build_heatmap_columnar", tiny_blocks
+    )
+    trg_a = str(tmp_path / "a")
+    triangle.run(_triangle_args(env, trg_a))
+    monkeypatch.setattr(TriangleRunner, "_build_heatmap_columnar", orig)
+    trg_b = str(tmp_path / "b")
+    triangle.run(_triangle_args(env, trg_b))
+    for chrom in ("5", "11"):
+        pa = os.path.join(trg_a, "query_LD_matr", f"query_chr{chrom}_r.json")
+        pb = os.path.join(trg_b, "query_LD_matr", f"query_chr{chrom}_r.json")
+        if os.path.exists(pb):
+            assert open(pa).read() == open(pb).read()

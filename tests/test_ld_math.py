@@ -228,3 +228,20 @@ def test_exact_mixed_length_elementwise_matches_oracle(rng):
         res = oracle_ld(list(g1[k]), list(g2[k]))
         assert r2[k] == res["r_square"]
         assert dp[k] == res["d_prime"]
+
+
+def test_resident_counts_matches_pair_counts(rng):
+    """Device-resident block counts (upload-once, slice-on-device) must
+    equal pair_counts on the same slices."""
+    from ld_tools_tpu.ops.engine import ResidentCounts, pair_counts
+
+    G = random_haplotypes(rng, 300, 130, maf_low=0.0, maf_high=1.0)
+    res = ResidentCounts(G, block_pad=128)
+    for r0, r1 in ((0, 128), (128, 256), (256, 300)):
+        c_ab, c1r, c1c = res.block_async(r0, r1, r1)()
+        ref_ab, ref1, ref2 = pair_counts(G[r0:r1], G[:r1])
+        np.testing.assert_array_equal(
+            c_ab.astype(np.int64), ref_ab.astype(np.int64)
+        )
+        np.testing.assert_array_equal(c1r, ref1)
+        np.testing.assert_array_equal(c1c, ref2)
