@@ -411,46 +411,69 @@ def _block_count_phase(
         use_dist=use_dist, block_m=count_block, block_n=count_block,
         interpret=interpret,
     )
+    # SMEM holds the scalar-prefetched block coordinate arrays (3 x 4 B
+    # per block) plus the slot matrix (~512 B per 128 slots): past ~16k
+    # blocks per call the 1 MB SMEM budget overflows at 200k-variant
+    # chromosome scale, so huge batches split into sub-calls
+    max_blocks = 16384
     if mesh is None:
-        target = 1
-        while target < max(n_real, 1):
-            target *= 2
-        slot_l = list(range(n_real)) + [n_real] * (target - n_real)
-        pad = target - n_real
-        counts = np.asarray(ld_band_count(
-            g_dev, c1_dev, ipq_dev, pos_dev,
-            jnp.asarray(bi_l + [0] * pad, dtype=jnp.int32),
-            jnp.asarray(bj_l + [0] * pad, dtype=jnp.int32),
-            jnp.asarray(slot_l, dtype=jnp.int32),
-            params_i, params_f, n_slots=target + 1, **static,
-        ))[:n_real].astype(np.int64)
+        pieces = []
+        for lo in range(0, max(n_real, 1), max_blocks):
+            hi = min(lo + max_blocks, n_real)
+            n_sub = max(hi - lo, 0)
+            target = 1
+            while target < max(n_sub, 1):
+                target *= 2
+            pad = target - n_sub
+            slot_l = list(range(n_sub)) + [n_sub] * pad
+            out = np.asarray(ld_band_count(
+                g_dev, c1_dev, ipq_dev, pos_dev,
+                jnp.asarray(bi_l[lo:hi] + [0] * pad, dtype=jnp.int32),
+                jnp.asarray(bj_l[lo:hi] + [0] * pad, dtype=jnp.int32),
+                jnp.asarray(slot_l, dtype=jnp.int32),
+                params_i, params_f, n_slots=target + 1, **static,
+            ))[:n_sub]
+            pieces.append(out)
+        counts = (
+            np.concatenate(pieces).astype(np.int64)
+            if pieces
+            else np.zeros((0,), dtype=np.int64)
+        )
     else:
         # mesh: contiguous per-device block slices, per-device local
-        # slot arrays, counts concatenated back into global block order
+        # slot arrays, counts concatenated back into global block order;
+        # the same SMEM cap applies PER DEVICE
         from ld_tools_tpu.ops.ld_pallas import ld_band_count_sharded
 
         n_sh = int(mesh.size)
-        loc = 1
-        while n_sh * loc < max(n_real, 1):
-            loc *= 2
-        total = n_sh * loc
-        pad = total - n_real
-        slot_l = [
-            (k - (k // loc) * loc) if k < n_real else loc
-            for k in range(total)
-        ]
-        fn = ld_band_count_sharded(mesh, n_slots=loc + 1, **static)
-        out = np.asarray(fn(
-            g_dev, c1_dev, ipq_dev, pos_dev,
-            jnp.asarray(bi_l + [0] * pad, dtype=jnp.int32),
-            jnp.asarray(bj_l + [0] * pad, dtype=jnp.int32),
-            jnp.asarray(slot_l, dtype=jnp.int32),
-            params_i, params_f,
-        ))
         pieces = []
-        for sh in range(n_sh):
-            real = min(loc, max(0, n_real - sh * loc))
-            pieces.append(out[sh * (loc + 1): sh * (loc + 1) + real])
+        for call_lo in range(0, max(n_real, 1), max_blocks * n_sh):
+            call_hi = min(call_lo + max_blocks * n_sh, n_real)
+            n_sub = max(call_hi - call_lo, 0)
+            loc = 1
+            while n_sh * loc < max(n_sub, 1):
+                loc *= 2
+            total = n_sh * loc
+            pad = total - n_sub
+            slot_l = [
+                (k - (k // loc) * loc) if k < n_sub else loc
+                for k in range(total)
+            ]
+            fn = ld_band_count_sharded(mesh, n_slots=loc + 1, **static)
+            out = np.asarray(fn(
+                g_dev, c1_dev, ipq_dev, pos_dev,
+                jnp.asarray(
+                    bi_l[call_lo:call_hi] + [0] * pad, dtype=jnp.int32
+                ),
+                jnp.asarray(
+                    bj_l[call_lo:call_hi] + [0] * pad, dtype=jnp.int32
+                ),
+                jnp.asarray(slot_l, dtype=jnp.int32),
+                params_i, params_f,
+            ))
+            for sh in range(n_sh):
+                real = min(loc, max(0, n_sub - sh * loc))
+                pieces.append(out[sh * (loc + 1): sh * (loc + 1) + real])
         counts = np.concatenate(pieces).astype(np.int64) if pieces else (
             np.zeros((0,), dtype=np.int64)
         )
