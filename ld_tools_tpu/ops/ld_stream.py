@@ -112,6 +112,14 @@ def _compact_keep_2d(keep, cap: int):
     return ii, jj
 
 
+# SMEM holds the fused count kernel's scalar-prefetched block coordinate
+# arrays (3 x 4 B per block) plus the slot matrix (~512 B per 128 slots):
+# past ~16k blocks per call the 1 MB SMEM budget overflows (hit at
+# 200k-variant chromosome scale), so count calls split at this many
+# blocks per device.
+_MAX_COUNT_BLOCKS_PER_CALL = 16384
+
+
 # n*c_ab and c1*c2 must stay int32-exact for the integer threshold mask:
 # n^2 < 2^31 -> n <= 46340 haplotypes (23k samples).  Larger cohorts fall
 # back to the f32 epilogue mask.
@@ -411,11 +419,8 @@ def _block_count_phase(
         use_dist=use_dist, block_m=count_block, block_n=count_block,
         interpret=interpret,
     )
-    # SMEM holds the scalar-prefetched block coordinate arrays (3 x 4 B
-    # per block) plus the slot matrix (~512 B per 128 slots): past ~16k
-    # blocks per call the 1 MB SMEM budget overflows at 200k-variant
-    # chromosome scale, so huge batches split into sub-calls
-    max_blocks = 16384
+    # SMEM cap: see _MAX_COUNT_BLOCKS_PER_CALL
+    max_blocks = _MAX_COUNT_BLOCKS_PER_CALL
     if mesh is None:
         pieces = []
         for lo in range(0, max(n_real, 1), max_blocks):

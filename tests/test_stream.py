@@ -396,3 +396,23 @@ def test_scan_sharded_mesh_fused_block_count_interpret(rng, n_devices):
     np.testing.assert_array_equal(got.j, ref.j)
     np.testing.assert_array_equal(got.r_square, ref.r_square)
     np.testing.assert_array_equal(got.d_prime, ref.d_prime)
+
+
+def test_scan_fused_count_chunked_calls(rng, monkeypatch):
+    """Count batches past the SMEM block cap split into sub-calls; the
+    hit set must be unchanged (exercised with a tiny patched cap)."""
+    from ld_tools_tpu.ops import ld_stream as mod
+
+    monkeypatch.setattr(mod, "_MAX_COUNT_BLOCKS_PER_CALL", 7)
+    G = random_haplotypes(rng, 60, 64, maf_low=0.1, maf_high=0.9)
+    a = stream_threshold_scan(
+        G, measure="r_square", thres=0.3, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    b = stream_threshold_scan(
+        G, measure="r_square", thres=0.3, band=16, chunk=16,
+        count_block=8, use_pallas=True, interpret=True, exact=True,
+    )
+    np.testing.assert_array_equal(a.i, b.i)
+    np.testing.assert_array_equal(a.j, b.j)
+    np.testing.assert_array_equal(a.r_square, b.r_square)
