@@ -68,6 +68,62 @@ def main():
         os.path.join(gallery, "ld_area_" + picked), "w"
     ) as d:
         d.write(s.read())
+
+    # mixed-ploidy chrX: ld_lite across the PAR boundary (male-haploid
+    # non-PAR x diploid PAR — unequal genotype-list lengths, zip
+    # semantics of reference calc_ld.py:30-33)
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    xdir = os.path.join(work, "xdata")
+    os.makedirs(xdir)
+    panel = synth.make_panel(40, rng)
+    synth.write_panel(os.path.join(xdir, "samples.txt"), panel)
+    names = [r[0] for r in panel]
+    GX, hapX = synth.make_chrx_layout(
+        rng, 30, [r[3] for r in panel], par_bounds=(0.3, 0.7)
+    )
+    rs_x = synth.write_vcf(
+        os.path.join(xdir, "X.vcf.gz"), "X", names, GX, haploid_masks=hapX
+    )
+    prep_intgen_data(xdir)
+    rsx = list(rs_x)
+    table_x = lite.run(types.SimpleNamespace(
+        rs_id_1=rsx[2], rs_id_2=rsx[15], intgen_dir_path=xdir,
+        skip_intgen_data_ver=True, gend_names="both", pop_names="all",
+    ))
+    with open(os.path.join(gallery, "ld_lite_chrx_par_x_nonpar.txt"),
+              "w") as fh:
+        fh.write(table_x + "\n")
+
+    # columnar heatmap (>500 variants: O(n) hover strings, client-side
+    # assembly — io/heatmap.py)
+    bigdir = os.path.join(work, "bigdata")
+    os.makedirs(bigdir)
+    synth.write_panel(os.path.join(bigdir, "samples.txt"), panel)
+    Gb = synth.correlated_haplotypes(rng, 560, 80)
+    rs_b = synth.write_vcf(
+        os.path.join(bigdir, "9.vcf.gz"), "9", names, Gb,
+        rsids=[f"rs77{i:04d}" for i in range(560)],
+    )
+    prep_intgen_data(bigdir)
+    bsrc = os.path.join(work, "bigsrc")
+    os.makedirs(bsrc)
+    with open(os.path.join(bsrc, "big.txt"), "w") as fh:
+        fh.write("\n".join(rs_b) + "\n")
+    triangle.run(types.SimpleNamespace(
+        src_dir_path=bsrc, trg_top_dir_path=work, meta_lines_quan=0,
+        ld_measure="r_square", ld_low_thres=None, matrix_type="heatmap",
+        heatmap_json=False, disp_letters=False, color_pal="sunsetdark",
+        font_size=None, square_shape=True, dont_disp_footer=False,
+        max_proc_quan=1, intgen_dir_path=bigdir,
+        skip_intgen_data_ver=True, gend_names="both", pop_names="all",
+    ))
+    big_html = os.path.join(work, "big_LD_matr", "big_chr9_r.html")
+    with open(big_html) as s, open(
+        os.path.join(gallery, "ld_triangle_columnar_560_chr9_r.html"), "w"
+    ) as d:
+        d.write(s.read())
     print(f"gallery refreshed in {gallery}")
 
 
