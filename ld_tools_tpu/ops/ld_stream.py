@@ -114,10 +114,11 @@ def _compact_keep_2d(keep, cap: int):
 
 # SMEM holds the fused count kernel's scalar-prefetched block coordinate
 # arrays (3 x 4 B per block) plus the slot matrix (~512 B per 128 slots):
-# past ~16k blocks per call the 1 MB SMEM budget overflows (hit at
-# 200k-variant chromosome scale), so count calls split at this many
-# blocks per device.
-_MAX_COUNT_BLOCKS_PER_CALL = 16384
+# 65k blocks per call overflowed the 1 MB SMEM budget (hit at
+# 200k-variant chromosome scale); 32k keeps the prefetch + slot
+# footprint near 520 KB while amortizing dispatch overhead across the
+# largest chromosomes.
+_MAX_COUNT_BLOCKS_PER_CALL = 32768
 
 
 # n*c_ab and c1*c2 must stay int32-exact for the integer threshold mask:
