@@ -45,6 +45,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pow4_cap(n: int, floor: int = 1024) -> int:
+    """Power-of-FOUR ceiling for per-tile fetch caps: tile_cap only sizes
+    device-side scratch (the wire cost is total_cap), so coarser steps
+    quarter the number of distinct compiled fetch programs a cold scan
+    pays for through the remote compiler."""
+    cap = floor
+    while cap < n:
+        cap *= 4
+    return cap
+
+
 @dataclasses.dataclass
 class ScanHits:
     """Threshold-surviving pairs from a streamed scan (host arrays).
@@ -589,7 +600,7 @@ def _mesh_compact_fetch(
     """
     idxs = [int(t) for t in hit_idx]
     max_cnt = int(counts[hit_idx].max())
-    tile_cap = max(1024, 1 << (max_cnt - 1).bit_length())
+    tile_cap = _pow4_cap(max_cnt)
     loc = 1
     while n_shards * loc < len(idxs):
         loc *= 2
@@ -987,7 +998,7 @@ def stream_threshold_scan(
             idxs = [int(t) for t in hit_idx]
             max_cnt = int(fetch_counts[hit_idx].max())
             total = int(fetch_counts[hit_idx].sum())
-            tile_cap = max(1024, 1 << (max_cnt - 1).bit_length())
+            tile_cap = _pow4_cap(max_cnt)
             total_cap = max(1024, 1 << (total - 1).bit_length())
             n_fetch = 1
             while n_fetch < len(idxs):
