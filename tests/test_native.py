@@ -341,3 +341,35 @@ def test_native_haploid_cells_parse_with_ploidy_profiles(tmp_path, built):
         )
         assert profiles.tolist() == [[2, 2], [1, 2], [1, 1]]
         assert pgroup.tolist() == [0, 1, 1, 2]
+
+
+def test_native_mixed_ploidy_fuzz_bgzf_seams(tmp_path, built):
+    """Random per-cell ploidy patterns across tiny BGZF blocks: the
+    multithreaded scanner's seam-line parsing and profile interning must
+    match the pure-Python parser exactly."""
+    from ld_tools_tpu.ingest import _vcfpack_ctypes as ctbind
+    from ld_tools_tpu.ingest import synth, vcf as vcf_mod
+
+    rng = np.random.default_rng(13)
+    n_samples, n_var = 17, 120
+    names = [f"S{i:03d}" for i in range(n_samples)]
+    G = (rng.random((n_var, 2 * n_samples)) < 0.4).astype(np.int8)
+    hap = rng.random((n_var, n_samples)) < 0.3
+    G[np.repeat(hap, 2, axis=1) & (np.arange(2 * n_samples) % 2 == 1)] = 0
+    path = str(tmp_path / "fuzz.vcf.gz")
+    synth.write_vcf(path, "7", names, G, haploid_masks=hap,
+                    bgzf=True, bgzf_block=256)
+
+    recs = list(vcf_mod.iter_records(path))
+    Gp = np.stack([r.genotypes for r in recs])
+    for n_threads in (1, 4):
+        (packed, h, pos, rsid, ref, alt, vt, samples, pgroup,
+         profiles) = ctbind.scan_packed(path, n_threads=n_threads)
+        Gn = np.unpackbits(packed, axis=1, count=h).astype(np.int8)
+        np.testing.assert_array_equal(Gn, Gp)
+        for rec, gid in zip(recs, pgroup):
+            prof = profiles[gid]
+            if rec.ploidy is None:
+                assert (prof == 2).all()
+            else:
+                np.testing.assert_array_equal(prof, rec.ploidy)
