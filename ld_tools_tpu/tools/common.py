@@ -74,6 +74,14 @@ class DataConfig:
         gends = expand_gend_names(gend_names)
         pops = expand_pop_names(pop_names)
         samples = tuple(get_sample_names(gends, pops, db))
+        if not samples:
+            # the reference crashes later with an uncaught
+            # ZeroDivisionError in calc_ld (htypes_quan == 0); fail at
+            # selection time with an actionable message instead
+            raise ValueError(
+                f"no samples match genders={gends} populations={pops}; "
+                "check -g/-e against the samples table"
+            )
         return DataConfig(
             intgen_dir_path=intgen_dir_path,
             intgen_convdb_path=db,

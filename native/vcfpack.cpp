@@ -347,6 +347,12 @@ class DedupEmitter {
     if (pending_.ploidy.empty()) return 0;
     auto it = profile_ids_.find(pending_.ploidy);
     if (it != profile_ids_.end()) return it->second;
+    if (r_->n_profiles >= 32767) {
+      // int16 group ids; real chromosomes have a handful of profiles
+      // (PAR bands) — hitting this means corrupt input, not scale
+      r_->error = "more than 32767 distinct ploidy profiles";
+      return 0;
+    }
     int16_t gid = static_cast<int16_t>(r_->n_profiles);
     profile_ids_.emplace(pending_.ploidy, gid);
     r_->profiles.insert(r_->profiles.end(), pending_.ploidy.begin(),

@@ -475,3 +475,12 @@ def test_max_proc_quan_overlap_identical_outputs(env, tmp_path):
             tool.run(args)
             trees[p] = tree(trg)
         assert trees[1] and trees[1] == trees[4]
+
+
+def test_empty_cohort_fails_at_selection(env):
+    """An empty cohort selection raises an actionable error instead of
+    the reference's downstream ZeroDivisionError (calc_ld, n == 0) or
+    NaN-filled outputs."""
+    rs = list(env.rs_by_chrom["5"])
+    with pytest.raises(ValueError, match="no samples match"):
+        lite.run(_lite_args(env, rs[0], rs[1], pop_names="ZZZ"))
