@@ -419,3 +419,64 @@ def test_scan_chry_uniform_haploid(xenv, tmp_path):
     assert set(got) == set(expected)
     for key, r in got.items():
         assert float(r[5]) == expected[key]["r_square"], key
+
+
+def test_scan_chrx_mesh_matches_unsharded(xenv, tmp_path):
+    """Mixed-chromosome scan with a device mesh (-d all): per-segment
+    sharded scans + cross-segment rectangles must produce a byte-identical
+    file to the unsharded run."""
+    from ld_tools_tpu.tools import scan
+
+    solo = str(tmp_path / "solo")
+    mesh = str(tmp_path / "mesh")
+    assert scan.run(_scan_args(xenv, solo, max_dist=9000)) == 1
+    assert scan.run(
+        _scan_args(xenv, mesh, max_dist=9000, devices="all")
+    ) == 1
+    name = "ld_scan_chrX_r_0.2.tsv"
+    with open(os.path.join(solo, name)) as fh:
+        body = fh.read()
+    with open(os.path.join(mesh, name)) as fh:
+        assert fh.read() == body
+
+
+def test_area_json_chrx_pair_dependent_freqs(xenv, tmp_path):
+    """JSON area output on a mixed chromosome carries the pair-dependent
+    opponent freqs and own-list query freq."""
+    import json as _json
+
+    trg = str(tmp_path)
+    args = types.SimpleNamespace(
+        src_dir_path=xenv.src,
+        intgen_dir_path=xenv.intgen,
+        trg_top_dir_path=trg,
+        meta_lines_quan=0,
+        skip_intgen_data_ver=True,
+        gend_names="both",
+        pop_names="all",
+        flank_size=10**6,
+        ld_thres_measure="r_square",
+        ld_low_thres=0.3,
+        trg_file_type="json",
+        max_proc_quan=1,
+    )
+    area.run(args)
+    rs = list(xenv.rs_x)
+    gl = _flat_lists(xenv, "X")
+    chr_dir = os.path.join(trg, "query_in_LD", "X")
+    checked = 0
+    for q in rs:
+        path = os.path.join(chr_dir, f"{q}_chrX_r_0.3.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            obj = _json.load(fh)
+        # obj[1] is the query annotation row (reference ld_area.py:211)
+        own = round(gl[q].count(1) / len(gl[q]), 4)
+        assert obj[1]["alt_freq"] == own
+        for row in obj[2:]:
+            res = oracle_ld(gl[q], gl[row["rsID"]])
+            assert row["r2"] == res["r_square"], (q, row["rsID"])
+            assert row["alt_freq"] == res["var_2_alt_freq"]
+            checked += 1
+    assert checked > 10
