@@ -98,6 +98,12 @@ def _load():
         ]
         lib.ef_round4.restype = None
         lib.ef_round4.argtypes = [dbl_p, ctypes.c_int64, dbl_p, u8_p]
+        lib.ef_finish_block_measure.restype = None
+        lib.ef_finish_block_measure.argtypes = [
+            i32_p, dbl_p, dbl_p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            dbl_p, u8_p, u8_p, ctypes.c_int32,
+        ]
         _lib_handle = lib
         return lib
 
@@ -137,6 +143,36 @@ def finish_block(c_ab, c1_rows, c1_cols, n: float, n_threads=None):
         int(n_threads),
     )
     return r2, dp, r2_iz.view(bool), dp_iz.view(bool)
+
+
+def finish_block_measure(c_ab, c1_rows, c1_cols, n: float, sel: int,
+                         n_threads=None):
+    """(rounded, int_zero, risky) for ONE measure of an int32 count block.
+
+    ``sel``: 0 = r_square, 1 = d_prime.  ``rounded`` is the 4-dp fast
+    round (int-0 cells hold 0.0); ``risky`` marks near-decimal-tie cells
+    the caller must re-round with Python's round().
+    """
+    lib = _load()
+    c_ab = np.ascontiguousarray(c_ab, dtype=np.int32)
+    c1_rows = np.ascontiguousarray(c1_rows, dtype=np.float64)
+    c1_cols = np.ascontiguousarray(c1_cols, dtype=np.float64)
+    nr, nc = c_ab.shape
+    rounded = np.empty((nr, nc), dtype=np.float64)
+    iz = np.empty((nr, nc), dtype=np.uint8)
+    risky = np.empty((nr, nc), dtype=np.uint8)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.ef_finish_block_measure(
+        _ptr(c_ab, ctypes.c_int32),
+        _ptr(c1_rows, ctypes.c_double),
+        _ptr(c1_cols, ctypes.c_double),
+        float(n), nr, nc, int(sel),
+        _ptr(rounded, ctypes.c_double),
+        _ptr(iz, ctypes.c_uint8), _ptr(risky, ctypes.c_uint8),
+        int(n_threads),
+    )
+    return rounded, iz.view(bool), risky.view(bool)
 
 
 def round4_fast(x):

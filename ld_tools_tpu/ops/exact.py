@@ -240,6 +240,51 @@ def exact_ld_elementwise(
     )
 
 
+def measure_rounded_block(c_ab, c1, c2, n_haplotypes, measure: str):
+    """4-dp-rounded block of ONE measure + the int-0 sentinel mask.
+
+    The streamed triangle table only prints ``str(round(v, 4))`` of the
+    chosen measure (or '0'); computing both measures plus a separate
+    round pass through full-matrix temporaries doubles the host cost of
+    a 10k-variant table.  The native one-pass variant
+    (ef_finish_block_measure) emits the fast-rounded measure directly;
+    near-decimal-tie cells are recomputed exactly and re-rounded with
+    Python's round (same contract as round4).  Falls back to the full
+    finish + round4 — bit-identical either way.
+
+    Returns ``(rounded f64 with 0.0 at int-0 cells, int_zero bool)``.
+    """
+    sel = 0 if measure == "r_square" else 1
+    c_raw = np.asarray(c_ab)
+    if (
+        c_raw.ndim == 2
+        and c_raw.size >= 4096
+        and np.issubdtype(c_raw.dtype, np.integer)
+        and _native_finish_available()
+    ):
+        rounded, iz, risky = _native.finish_block_measure(
+            c_raw, np.asarray(c1, np.float64), np.asarray(c2, np.float64),
+            float(n_haplotypes), sel,
+        )
+        if risky.any():
+            ri, rj = np.nonzero(risky)
+            ex = exact_ld_elementwise(
+                c_raw[ri, rj],
+                np.asarray(c1, np.float64)[ri],
+                np.asarray(c2, np.float64)[rj],
+                n_haplotypes,
+            )
+            raw = ex.r_square if sel == 0 else ex.d_prime
+            rounded[ri, rj] = [round(float(v), 4) for v in raw]
+        return rounded, iz
+    ex = exact_ld_from_counts(c_ab, c1, c2, n_haplotypes)
+    vals = ex.r_square if sel == 0 else ex.d_prime
+    iz = ex.r_square_is_int_zero if sel == 0 else ex.d_prime_is_int_zero
+    rounded = round4(vals)
+    rounded[iz] = 0.0
+    return rounded, iz
+
+
 _FMT_TABLE = None
 
 

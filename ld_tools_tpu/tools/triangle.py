@@ -365,8 +365,8 @@ def _write_table_streamed(
         pair_counts_async,
     )
     from ld_tools_tpu.ops.exact import (
-        exact_ld_from_counts,
         format_rounded,
+        measure_rounded_block,
         round4,
     )
 
@@ -385,7 +385,20 @@ def _write_table_streamed(
             return mixed_pair_ld_async(cd, cp, rows_arr[r0:r1], rows_arr[:r1])
 
         def finish(fin):
-            return fin()
+            exact = fin()
+            vals = (
+                exact.r_square
+                if cfg.ld_measure == "r_square"
+                else exact.d_prime
+            )
+            iz = (
+                exact.r_square_is_int_zero
+                if cfg.ld_measure == "r_square"
+                else exact.d_prime_is_int_zero
+            )
+            rounded = round4(vals)
+            rounded[iz] = 0.0
+            return rounded, iz
     else:
         n_hap = G.shape[1]
         if n > 2 * row_block:
@@ -405,8 +418,12 @@ def _write_table_streamed(
                 return pair_counts_async(G[r0:r1], G[:r1])
 
         def finish(fin):
+            # one measure only, rounded in the same native pass — half
+            # the finish cost of computing both measures + a round pass
             c_ab, c1r, c1c = fin()
-            return exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+            return measure_rounded_block(
+                c_ab, c1r, c1c, n_hap, cfg.ld_measure
+            )
 
     # two-slot pipeline: block k+1's device counts are in flight (jax
     # dispatch is async) while block k's exact finish + cell formatting
@@ -429,19 +446,7 @@ def _write_table_streamed(
                 nr0 = starts[bi + 1]
                 nr1 = min(nr0 + row_block, n)
                 pending = dispatch(nr0, nr1)
-            exact = finish(fin)
-            vals = (
-                exact.r_square
-                if cfg.ld_measure == "r_square"
-                else exact.d_prime
-            )
-            int_zero = (
-                exact.r_square_is_int_zero
-                if cfg.ld_measure == "r_square"
-                else exact.d_prime_is_int_zero
-            )
-            rounded = round4(vals)
-            rounded[int_zero] = 0.0
+            rounded, int_zero = finish(fin)
             for k in range(r1 - r0):
                 r = r0 + k
                 cells = format_rounded(rounded[k, :r], int_zero[k, :r])

@@ -245,3 +245,49 @@ def test_resident_counts_matches_pair_counts(rng):
         )
         np.testing.assert_array_equal(c1r, ref1)
         np.testing.assert_array_equal(c1c, ref2)
+
+
+@pytest.mark.parametrize("measure", ["r_square", "d_prime"])
+def test_measure_rounded_block_parity(rng, measure):
+    """The one-pass measure-only finish (native ef_finish_block_measure or
+    numpy fallback) must be bit-identical to the full finish + round4,
+    including int-0 sentinels and near-decimal-tie cells."""
+    from ld_tools_tpu.ops.exact import (
+        exact_ld_from_counts,
+        measure_rounded_block,
+        round4,
+    )
+
+    h = 200
+    G = random_haplotypes(rng, 90, h, maf_low=0.0, maf_high=1.0)
+    G[0] = 0
+    G[1] = 1
+    c_ab = (G.astype(np.int64) @ G.T.astype(np.int64)).astype(np.int32)
+    c1 = G.sum(axis=1).astype(np.float64)
+    # small counts with h=200 produce plenty of 4-dp-tie-adjacent values
+    ex = exact_ld_from_counts(c_ab, c1, c1, h)
+    vals = ex.r_square if measure == "r_square" else ex.d_prime
+    iz = (
+        ex.r_square_is_int_zero
+        if measure == "r_square"
+        else ex.d_prime_is_int_zero
+    )
+    want = round4(vals)
+    want[iz] = 0.0
+    got, got_iz = measure_rounded_block(c_ab, c1, c1, h, measure)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got_iz, np.asarray(iz))
+
+
+def test_measure_rounded_block_fallback_matches_native(rng, monkeypatch):
+    from ld_tools_tpu.ops import exact as mod
+
+    h = 128
+    G = random_haplotypes(rng, 80, h, maf_low=0.0, maf_high=1.0)
+    c_ab = (G.astype(np.int64) @ G.T.astype(np.int64)).astype(np.int32)
+    c1 = G.sum(axis=1).astype(np.float64)
+    native = mod.measure_rounded_block(c_ab, c1, c1, h, "r_square")
+    monkeypatch.setattr(mod, "_native_ok", False)
+    fallback = mod.measure_rounded_block(c_ab, c1, c1, h, "r_square")
+    np.testing.assert_array_equal(native[0], fallback[0])
+    np.testing.assert_array_equal(native[1], fallback[1])
