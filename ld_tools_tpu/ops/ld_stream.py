@@ -923,11 +923,18 @@ def stream_threshold_scan(
         while target_len < n_valid:
             target_len *= 2
         part = part + [(0, 0)] * (target_len - n_valid)
-        r0s = jnp.asarray([t[0] for t in part], dtype=jnp.int32)
-        c0s = jnp.asarray([t[1] for t in part], dtype=jnp.int32)
-        valid = jnp.asarray(
-            [k < n_valid for k in range(len(part))], dtype=bool
-        )
+
+        def tile_coord_arrays():
+            # only the XLA tile-count paths consume these; the fused
+            # block-count path builds its own block lists
+            return (
+                jnp.asarray([t[0] for t in part], dtype=jnp.int32),
+                jnp.asarray([t[1] for t in part], dtype=jnp.int32),
+                jnp.asarray(
+                    [k < n_valid for k in range(len(part))], dtype=bool
+                ),
+            )
+
         common = dict(
             band=band, chunk=chunk, use_pallas=use_pallas,
             interpret=interpret, sel=sel, use_dist=use_dist,
@@ -970,12 +977,14 @@ def stream_threshold_scan(
             count_fn, fetch_factory, fetch_compact_factory = (
                 _sharded_tile_fns(mesh, **common)
             )
+            r0s, c0s, valid = tile_coord_arrays()
             counts = np.asarray(count_fn(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
             ))
             fetch_part, fetch_counts = part, counts
             fetch_chunk, common_f = chunk, common
         else:
+            r0s, c0s, valid = tile_coord_arrays()
             counts = np.asarray(_count_tiles_batch(
                 g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
                 **common
