@@ -85,8 +85,8 @@ def _compact_true_positions(mask, cap: int):
 
     Semantically ``jnp.nonzero(mask.ravel(), size=cap, fill_value=-1)``,
     but TPU-shaped: jnp.nonzero lowers through ``bincount`` — a scatter
-    with one update per CELL (33M serial scatter-adds for a 4096 x 8192
-    tile, ~300 ms), and cumsum+searchsorted still costs ~90 ms/tile in
+    with one update per CELL (~30M serial scatter-adds for a full
+    band x chunk tile, ~300 ms), and cumsum+searchsorted still costs ~90 ms in
     per-slot binary-search gathers.  ``lax.top_k`` over the negated cell
     index (True cells keep ``-index``, False cells sink to INT32_MIN+1)
     returns the first ``cap`` True positions in ascending order as a

@@ -416,3 +416,26 @@ def test_scan_fused_count_chunked_calls(rng, monkeypatch):
     np.testing.assert_array_equal(a.i, b.i)
     np.testing.assert_array_equal(a.j, b.j)
     np.testing.assert_array_equal(a.r_square, b.r_square)
+
+
+def test_scan_checkpoint_resume_fused_path(rng, tmp_path):
+    """Resume through the fused Pallas count + block fetch path (interpret
+    mode): checkpoints written by one engine must satisfy a resumed run,
+    and the result must match the XLA engine bit-for-bit."""
+    G = random_haplotypes(rng, 50, 80, maf_low=0.05, maf_high=0.95)
+    pos = (np.arange(50, dtype=np.int64) + 1) * 100
+    kw = dict(measure="r_square", thres=0.4, band=16, chunk=16,
+              count_block=8, max_tiles_per_call=2, use_pallas=True,
+              interpret=True, exact=True, checkpoint_dir=str(tmp_path))
+    first = stream_threshold_scan(G, pos=pos, **kw)
+    assert len(list(tmp_path.glob("scan_*_batch*.npz"))) > 0
+    second = stream_threshold_scan(G, pos=pos, **kw)
+    np.testing.assert_array_equal(first.i, second.i)
+    np.testing.assert_array_equal(first.r_square, second.r_square)
+    clean = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=0.4, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    np.testing.assert_array_equal(first.i, clean.i)
+    np.testing.assert_array_equal(first.j, clean.j)
+    np.testing.assert_array_equal(first.r_square, clean.r_square)
