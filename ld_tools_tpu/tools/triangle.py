@@ -483,7 +483,7 @@ def _build_heatmap_columnar(
         mixed_pair_ld_async,
         pair_counts_async,
     )
-    from ld_tools_tpu.ops.exact import exact_ld_from_counts, round4
+    from ld_tools_tpu.ops.exact import measure_rounded_block, round4
 
     cfg = self.config
     n = len(rs_ids_srtd)
@@ -495,7 +495,12 @@ def _build_heatmap_columnar(
             return mixed_pair_ld_async(cd, cp, rows_arr[r0:r1], rows_arr[:r1])
 
         def finish(fin):
-            return fin()
+            exact = fin()
+            return (
+                round4(exact.r_square), exact.r_square_is_int_zero,
+                round4(exact.d_prime), exact.d_prime_is_int_zero,
+                round4(exact.p1), round4(exact.p2),
+            )
     else:
         n_hap = G.shape[1]
         if n > 2 * row_block:
@@ -513,8 +518,16 @@ def _build_heatmap_columnar(
                 return pair_counts_async(G[r0:r1], G[:r1])
 
         def finish(fin):
+            # two one-pass measure-only finishes (rounded in-pass) cost
+            # ~1/4 of the full both-measures finish + round4 passes
             c_ab, c1r, c1c = fin()
-            return exact_ld_from_counts(c_ab, c1r, c1c, n_hap)
+            r2r, r2iz = measure_rounded_block(
+                c_ab, c1r, c1c, n_hap, "r_square"
+            )
+            dpr, dpiz = measure_rounded_block(
+                c_ab, c1r, c1c, n_hap, "d_prime"
+            )
+            return r2r, r2iz, dpr, dpiz, None, None
 
     # uniform values live in [-1, 1] (int16 codes); mixed cross-profile
     # pairs follow the reference's unbounded zip-truncation math -> int32
@@ -528,23 +541,21 @@ def _build_heatmap_columnar(
         fin = pending
         if bi + 1 < len(starts):
             pending = dispatch(starts[bi + 1], min(starts[bi + 1] + row_block, n))
-        exact = finish(fin)
+        r2r, r2iz, dpr, dpiz, p1r, p2r = finish(fin)
         r2_parts.append(heatmap_io.encode_q_rows(
-            round4(exact.r_square), exact.r_square_is_int_zero, r0, r1,
-            qdtype=qdtype,
+            r2r, r2iz, r0, r1, qdtype=qdtype,
         ))
         dp_parts.append(heatmap_io.encode_q_rows(
-            round4(exact.d_prime), exact.d_prime_is_int_zero, r0, r1,
-            qdtype=qdtype,
+            dpr, dpiz, r0, r1, qdtype=qdtype,
         ))
         if mixed:
             if no_iz is None or no_iz.shape[0] < r1 - r0:
                 no_iz = np.zeros((r1 - r0, n), dtype=bool)
             f1_parts.append(heatmap_io.encode_q_rows(
-                round4(exact.p1), no_iz, r0, r1, qdtype=qdtype
+                p1r, no_iz, r0, r1, qdtype=qdtype
             ))
             f2_parts.append(heatmap_io.encode_q_rows(
-                round4(exact.p2), no_iz, r0, r1, qdtype=qdtype
+                p2r, no_iz, r0, r1, qdtype=qdtype
             ))
 
     ann = [variant_annotations(cd, r) for r in rows]
