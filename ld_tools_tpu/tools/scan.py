@@ -148,7 +148,6 @@ def _scan_mixed_chromosome(cd, cp, config: ScanConfig,
                 if a0 >= a1 or b0 >= b1:
                     continue
             m = min(n_i, n_j)
-            Ci = None  # unpacked lazily per row block below
             Cj_full = pack.pack_columns(
                 np.ascontiguousarray(cd.packed[a0:a1]),
                 cp.cols_for(gid_j), cd.n_haplotypes,

@@ -18,6 +18,9 @@ Configs (BASELINE.md):
 6. BASELINE metric #2 end-to-end: 10k-variant ld_triangle -o table wall
    time (device counts + bit-exact host finish + streamed TSV write),
    plus a 2,000-variant heatmap (HTML+hovertext) timing.
+6c. 10k-variant COLUMNAR heatmap (O(n) hover strings).
+4c. chr2-scale scan (204,800 variants) — amortizes per-scan constants.
+0gb. opt-in GB-scale ingest (>=1 GiB BGZF fixture, per-thread MB/s+RSS).
 """
 
 import argparse
