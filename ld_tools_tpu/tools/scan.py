@@ -72,7 +72,32 @@ class ScanConfig:
         return mesh if mesh.size > 1 else None
 
 
-def _scan_mixed_chromosome(cd, cp, config: ScanConfig,
+def _resident_key(data: DataConfig, cd, extra=()):
+    """Cache identity for the scan's device-resident inputs: store path +
+    gt.npy mtime (the bytes' identity) + chromosome + cohort fingerprint.
+    A re-ingest bumps the mtime; a different cohort hashes differently."""
+    import hashlib
+
+    import numpy as np
+
+    from ld_tools_tpu.ingest import pack
+
+    gt_path = os.path.join(
+        pack.chrom_dir(data.intgen_dir_path, cd.chrom), "gt.npy"
+    )
+    try:
+        mtime = os.path.getmtime(gt_path)
+    except OSError:
+        mtime = None
+    cohort_fp = hashlib.sha256(
+        "\n".join(data.sample_names).encode()
+    ).hexdigest()[:16]
+    return (
+        os.path.abspath(data.intgen_dir_path), cd.chrom, mtime, cohort_fp,
+    ) + tuple(extra)
+
+
+def _scan_mixed_chromosome(data, cd, cp, config: ScanConfig,
                            multiprocess: bool = False):
     """Mixed-ploidy (chrX) scan: segment the variant axis into maximal
     runs of one ploidy profile, triangular-scan each run with its own
@@ -120,6 +145,9 @@ def _scan_mixed_chromosome(cd, cp, config: ScanConfig,
             checkpoint_dir=None,
             mesh=config.mesh(),
             multiprocess=multiprocess,
+            resident_key=_resident_key(
+                data, cd, extra=("seg", int(s0), int(s1), gid)
+            ),
         )
         parts.append((hits.i + s0, hits.j + s0, hits.r_square,
                       hits.d_prime, hits.r_square_is_int_zero,
@@ -250,7 +278,7 @@ def scan_chromosome(
     chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
     if chrom_groups.size > 1:
         hits = _scan_mixed_chromosome(
-            cd, cp, config, multiprocess=multiprocess
+            data, cd, cp, config, multiprocess=multiprocess
         )
     else:
         # single ploidy profile: the scan consumes the profile's live
@@ -287,6 +315,7 @@ def scan_chromosome(
             checkpoint_dir=config.checkpoint_dir,
             mesh=config.mesh(),
             multiprocess=multiprocess,
+            resident_key=_resident_key(data, cd),
         )
     if not write:
         return None

@@ -439,3 +439,56 @@ def test_scan_checkpoint_resume_fused_path(rng, tmp_path):
     np.testing.assert_array_equal(first.i, clean.i)
     np.testing.assert_array_equal(first.j, clean.j)
     np.testing.assert_array_equal(first.r_square, clean.r_square)
+
+
+def test_scan_resident_cache_reuse(rng):
+    """A repeat scan under the same resident_key must skip host prep +
+    upload (stats.resident_hit) and return the identical hit set; a
+    DIFFERENT threshold still reuses the resident arrays (they are
+    threshold-independent — thres rides in as a runtime scalar)."""
+    from ld_tools_tpu.ops import ld_stream as mod
+
+    mod.clear_resident_cache()
+    G = random_haplotypes(rng, 50, 64, maf_low=0.05, maf_high=0.95)
+    pos = np.sort(rng.choice(10**6, size=50, replace=False)).astype(np.int64)
+    kw = dict(pos=pos, measure="r_square", band=16, chunk=16,
+              use_pallas=False, exact=True, resident_key=("t", "chrT"))
+    cold = stream_threshold_scan(G, thres=0.3, **kw)
+    assert cold.stats["resident_hit"] == 0.0
+    warm = stream_threshold_scan(G, thres=0.3, **kw)
+    assert warm.stats["resident_hit"] == 1.0
+    np.testing.assert_array_equal(cold.i, warm.i)
+    np.testing.assert_array_equal(cold.j, warm.j)
+    np.testing.assert_array_equal(cold.r_square, warm.r_square)
+    np.testing.assert_array_equal(cold.d_prime, warm.d_prime)
+    # different threshold, same resident arrays
+    other = stream_threshold_scan(G, thres=0.7, **kw)
+    assert other.stats["resident_hit"] == 1.0
+    ref = stream_threshold_scan(
+        G, pos=pos, measure="r_square", thres=0.7, band=16, chunk=16,
+        use_pallas=False, exact=True,
+    )
+    np.testing.assert_array_equal(other.i, ref.i)
+    np.testing.assert_array_equal(other.r_square, ref.r_square)
+    mod.clear_resident_cache()
+
+
+def test_scan_resident_cache_key_discriminates(rng):
+    """Different keys, layouts, or pos content must NOT share entries."""
+    from ld_tools_tpu.ops import ld_stream as mod
+
+    mod.clear_resident_cache()
+    G = random_haplotypes(rng, 30, 64, maf_low=0.1, maf_high=0.9)
+    pos_a = (np.arange(30, dtype=np.int64) + 1) * 100
+    pos_b = (np.arange(30, dtype=np.int64) + 1) * 200
+    kw = dict(measure="r_square", thres=0.3, band=16, chunk=16,
+              use_pallas=False, exact=True)
+    a = stream_threshold_scan(G, pos=pos_a, resident_key=("k",), **kw)
+    assert a.stats["resident_hit"] == 0.0
+    # same key but different pos bytes -> miss (content hash differs)
+    b = stream_threshold_scan(G, pos=pos_b, resident_key=("k",), **kw)
+    assert b.stats["resident_hit"] == 0.0
+    # no key -> never cached
+    c = stream_threshold_scan(G, pos=pos_a, **kw)
+    assert c.stats["resident_hit"] == 0.0
+    mod.clear_resident_cache()
