@@ -188,3 +188,110 @@ def test_two_process_cooperative_scan(tmp_path):
     assert {r["pid"] for r in results} == {0, 1}
     assert all(r["match"] for r in results)
     assert results[0]["hits"] == results[1]["hits"] > 0
+
+
+_RESUME_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.environ["TPU_LD_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from ld_tools_tpu.utils.distributed import initialize_if_needed
+
+assert initialize_if_needed()
+from ld_tools_tpu.ops import ld_stream as mod
+from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
+
+rng = np.random.default_rng(5)  # identical data on every process
+V, H = 120, 64
+base = (rng.random((V // 4, H)) < rng.uniform(0.1, 0.9, (V // 4, 1)))
+G = np.repeat(base, 4, axis=0).astype(np.int8)
+pos = (np.arange(V, dtype=np.int64) + 1) * 500
+
+kw = dict(measure="r_square", thres=0.4, band=16, chunk=16,
+          use_pallas=False, exact=True, max_tiles_per_call=2,
+          checkpoint_dir=os.environ["CKPT_DIR"])
+
+if os.environ["MODE"] == "die":
+    # hard-kill each process mid-scan at a DIFFERENT batch boundary:
+    # partial per-process checkpoints survive on disk
+    limit = 2 if jax.process_index() == 0 else 4
+    orig = mod._count_tiles_batch
+    state = {"n": 0}
+    def wrapper(*a, **k):
+        state["n"] += 1
+        if state["n"] > limit:
+            os._exit(3)
+        return orig(*a, **k)
+    mod._count_tiles_batch = wrapper
+
+coop = stream_threshold_scan(G, pos=pos, multiprocess=True, **kw)
+solo = stream_threshold_scan(
+    G, pos=pos, measure="r_square", thres=0.4, band=16, chunk=16,
+    use_pallas=False, exact=True,
+)
+ok = (np.array_equal(coop.i, solo.i) and np.array_equal(coop.j, solo.j)
+      and np.array_equal(coop.r_square, solo.r_square)
+      and np.array_equal(coop.d_prime, solo.d_prime))
+print(json.dumps({
+    "pid": jax.process_index(),
+    "hits": int(len(coop.i)),
+    "match": bool(ok),
+}), flush=True)
+"""
+
+
+def _launch_pair(worker_path, extra_env):
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            TPU_LD_REPO=_REPO,
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            **extra_env,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_path)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    return outs
+
+
+def test_two_process_cooperative_scan_kill_and_resume(tmp_path):
+    """VERDICT r4 next #4: a cooperative multi-process scan killed
+    mid-flight must resume from its per-process checkpoints and still
+    byte-match the single-process result on every process."""
+    worker = tmp_path / "resume_worker.py"
+    worker.write_text(_RESUME_WORKER)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+
+    # round 1: both workers hard-exit mid-scan (at different batches)
+    outs = _launch_pair(worker, {"MODE": "die", "CKPT_DIR": str(ckpt)})
+    assert all(rc == 3 for rc, _, _ in outs), outs
+    partial = list(ckpt.glob("scan_*_batch*.npz"))
+    assert len(partial) >= 2  # both processes left checkpoints behind
+    fps = {p.name.split("_")[1] for p in partial}
+    assert len(fps) == 2  # per-process fingerprints differ
+
+    # round 2: fresh 2-process job resumes and completes
+    outs = _launch_pair(worker, {"MODE": "resume", "CKPT_DIR": str(ckpt)})
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"resume worker failed:\n{err[-2000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    assert {r["pid"] for r in results} == {0, 1}
+    assert all(r["match"] for r in results)
+    assert results[0]["hits"] == results[1]["hits"] > 0
