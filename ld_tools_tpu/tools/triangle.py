@@ -340,7 +340,7 @@ def _hovertext_matrix(self, exact, cd, rows, rs_ids_srtd, poss_srtd):
 
 def _write_table_streamed(
     self, G, chrom, rs_ids_srtd, poss_srtd, src_file_base, trg_dir_path,
-    row_block: int = 2048, mixed_ctx=None,
+    row_block: int = 2048, mixed_ctx=None, phase_stats=None,
 ):
     """Streamed triangle TSV: row blocks of counts -> exact f64 finish ->
     vectorized cell strings -> write.
@@ -355,8 +355,13 @@ def _write_table_streamed(
     ``mixed_ctx`` = (chrom_data, cohort_ploidy, rows) switches each
     block to the grouped mixed-ploidy engine (chrX sets straddling the
     PAR boundary) with identical streaming structure.
+
+    ``phase_stats`` (a dict, optional) accumulates per-phase seconds
+    (dispatch_s / finish_s / write_s) so benchmark rows can attribute
+    wall time structurally instead of in prose notes.
     """
     import os
+    import time as _time
 
     import numpy as np
 
@@ -428,7 +433,12 @@ def _write_table_streamed(
     # two-slot pipeline: block k+1's device counts are in flight (jax
     # dispatch is async) while block k's exact finish + cell formatting
     # + write run on the host
+    ps = phase_stats if phase_stats is not None else {}
+    for key in ("dispatch_s", "finish_s", "write_s"):
+        ps.setdefault(key, 0.0)
+    _t0 = _time.perf_counter()
     pending = dispatch(0, min(row_block, n))
+    ps["dispatch_s"] += _time.perf_counter() - _t0
     with open(path, "w") as fh:
         fh.write(
             f"##General\tinfo:\t{cfg.ld_measure}\tchr{chrom}\t"
@@ -445,8 +455,13 @@ def _write_table_streamed(
             if bi + 1 < len(starts):
                 nr0 = starts[bi + 1]
                 nr1 = min(nr0 + row_block, n)
+                _t0 = _time.perf_counter()
                 pending = dispatch(nr0, nr1)
+                ps["dispatch_s"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             rounded, int_zero = finish(fin)
+            ps["finish_s"] += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             for k in range(r1 - r0):
                 r = r0 + k
                 cells = format_rounded(rounded[k, :r], int_zero[k, :r])
@@ -458,6 +473,7 @@ def _write_table_streamed(
                     rs_ids_srtd[r] + "\t" + poss_str[r] + "\t"
                     + "\t".join(cells.tolist() + ["0"] * (n - r)) + "\n"
                 )
+            ps["write_s"] += _time.perf_counter() - _t0
 
 
 TriangleRunner._hovertext_matrix = _hovertext_matrix
@@ -466,7 +482,7 @@ TriangleRunner._write_table_streamed = _write_table_streamed
 
 def _build_heatmap_columnar(
     self, cd, chrom, rows, rs_ids_srtd, poss_srtd, G, mixed_ctx,
-    src_file_base, trg_dir_path, row_block: int = 2048,
+    src_file_base, trg_dir_path, row_block: int = 2048, phase_stats=None,
 ):
     """Streamed columnar-figure heatmap for > _HOVER_CELLS_MAX variants.
 
@@ -535,19 +551,28 @@ def _build_heatmap_columnar(
     no_iz = None
     r2_parts, dp_parts, f1_parts, f2_parts = [], [], [], []
     starts = list(range(0, n, row_block))
+    import time as _time
+
+    ps = phase_stats if phase_stats is not None else {}
+    for key in ("finish_s", "encode_s", "figure_s"):
+        ps.setdefault(key, 0.0)
     pending = dispatch(0, min(row_block, n))
     for bi, r0 in enumerate(starts):
         r1 = min(r0 + row_block, n)
         fin = pending
         if bi + 1 < len(starts):
             pending = dispatch(starts[bi + 1], min(starts[bi + 1] + row_block, n))
+        _t0 = _time.perf_counter()
         r2r, r2iz, dpr, dpiz, p1r, p2r = finish(fin)
+        ps["finish_s"] += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         r2_parts.append(heatmap_io.encode_q_rows(
             r2r, r2iz, r0, r1, qdtype=qdtype,
         ))
         dp_parts.append(heatmap_io.encode_q_rows(
             dpr, dpiz, r0, r1, qdtype=qdtype,
         ))
+        ps["encode_s"] += _time.perf_counter() - _t0
         if mixed:
             if no_iz is None or no_iz.shape[0] < r1 - r0:
                 no_iz = np.zeros((r1 - r0, n), dtype=bool)
@@ -558,6 +583,7 @@ def _build_heatmap_columnar(
                 p2r, no_iz, r0, r1, qdtype=qdtype
             ))
 
+    _t0 = _time.perf_counter()
     ann = [variant_annotations(cd, r) for r in rows]
     freq_q = None
     if not mixed:
@@ -601,6 +627,7 @@ populations: {", ".join(self.data.pop_names)}
         figure,
         cfg.disp_letters,
     )
+    ps["figure_s"] += _time.perf_counter() - _t0
 
 
 TriangleRunner._build_heatmap_columnar = _build_heatmap_columnar

