@@ -90,8 +90,13 @@ def _load():
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
             fn.argtypes = [ctypes.c_void_p]
-        lib.vp_genotypes_packed.restype = ctypes.POINTER(ctypes.c_uint8)
-        lib.vp_genotypes_packed.argtypes = [ctypes.c_void_p]
+        # packed rows live in fixed-size native blocks (no contiguous
+        # native copy ever exists); vp_packed_copy drains them straight
+        # into the numpy buffer — peak RSS ~= one packed copy, not three
+        lib.vp_packed_copy.restype = None
+        lib.vp_packed_copy.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+        ]
         lib.vp_positions.restype = ctypes.POINTER(ctypes.c_int64)
         lib.vp_positions.argtypes = [ctypes.c_void_p]
         lib.vp_profiles.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -142,9 +147,11 @@ def scan_packed(path: str, n_threads: int | None = None):
         h = lib.vp_n_haplotypes(handle)
         row_bytes = lib.vp_row_bytes(handle)
         if v > 0:
-            packed = np.ctypeslib.as_array(
-                lib.vp_genotypes_packed(handle), shape=(v, row_bytes)
-            ).copy()
+            packed = np.empty((v, row_bytes), dtype=np.uint8)
+            lib.vp_packed_copy(
+                handle,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
             pos = np.ctypeslib.as_array(
                 lib.vp_positions(handle), shape=(v,)
             ).copy()

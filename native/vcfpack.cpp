@@ -28,6 +28,16 @@
 //     duplicate-triple suppression over the ordered record stream.
 //     Non-BGZF inputs (plain gzip / raw text) fall back to vp_scan.
 //
+// GB-scale memory/throughput design (round 5): workers emit column
+// ARENAS (one contiguous packed buffer + string arenas + offset tables
+// per chunk) instead of per-record heap objects, the reorder buffer is
+// BOUNDED so workers can never run unboundedly ahead of the in-order
+// coordinator (that lag was the r4 RSS blowup), the coordinator's dedup
+// runs over views into the live arena (one deep copy only at each chunk
+// seam), and packed output accumulates in fixed 8 MiB blocks drained by
+// vp_packed_copy into a caller-allocated buffer — no doubling realloc of
+// a near-GiB vector, and peak native RSS ~= the packed output size.
+//
 // Both modes share one data-line parser with a vectorizable fast path for
 // the uniform "a|b\t" cell layout phased 1000G rows have (validate all
 // cells with branch-free byte compares, then gather every other byte).
@@ -181,6 +191,61 @@ bool parse_gt_generic(const char* g, const char* end, bool gt_only,
   return true;
 }
 
+// Packed genotype rows accumulated in fixed-size blocks: appending never
+// reallocates-and-copies the whole history (a 458 MB vector's doubling
+// growth both copied and transiently DOUBLED the largest allocation),
+// and the result is drained with one pass into a caller-owned buffer.
+class PackedSink {
+ public:
+  static constexpr size_t kBlock = 8u << 20;
+
+  void append(const uint8_t* src, size_t len) {
+    while (len > 0) {
+      if (blocks_.empty() || fill_ == kBlock) {
+        blocks_.emplace_back(kBlock);
+        fill_ = 0;
+      }
+      size_t take = len < kBlock - fill_ ? len : kBlock - fill_;
+      memcpy(blocks_.back().data() + fill_, src, take);
+      fill_ += take;
+      total_ += take;
+      src += take;
+      len -= take;
+    }
+  }
+
+  // DESTRUCTIVE drain: each block is freed as soon as it is copied, so
+  // the native copy and the caller's buffer never fully coexist — peak
+  // RSS of a scan stays ~one packed copy instead of two.
+  void copy_to(uint8_t* dst) {
+    size_t left = total_;
+    while (!blocks_.empty() && left > 0) {
+      auto& b = blocks_.front();
+      size_t n = left < b.size() ? left : b.size();
+      memcpy(dst, b.data(), n);
+      dst += n;
+      left -= n;
+      blocks_.pop_front();
+    }
+    blocks_.clear();
+    fill_ = 0;
+    total_ = 0;
+  }
+
+  void clear() {
+    blocks_.clear();
+    fill_ = 0;
+    total_ = 0;
+  }
+
+  size_t total() const { return total_; }
+
+ private:
+  std::deque<std::vector<uint8_t>> blocks_;
+  size_t fill_ = 0;
+  size_t total_ = 0;
+};
+
 enum class LineVerdict { kKept, kSkipped, kError };
 
 // Parse one data line.  n_haplotypes/row_bytes must be known (header
@@ -277,7 +342,7 @@ struct VpResult {
   int64_t n_variants = 0;
   int64_t n_haplotypes = 0;
   int64_t row_bytes = 0;
-  std::vector<uint8_t> packed;     // n_variants * row_bytes
+  PackedSink packed;               // n_variants * row_bytes, in blocks
   std::vector<int64_t> positions;
   std::string rsids;    // '\n'-joined
   std::string refs;
@@ -299,23 +364,139 @@ struct VpResult {
 
 namespace {
 
+// Borrowed view of one parsed record — pointers into either a chunk
+// arena, a live Record, or the emitter's owned copy.
+struct RecView {
+  const char* chrom = nullptr;
+  size_t chrom_len = 0;
+  const char* rsid = nullptr;
+  size_t rsid_len = 0;
+  const char* ref = nullptr;
+  size_t ref_len = 0;
+  const char* alt = nullptr;
+  size_t alt_len = 0;
+  const char* vt = nullptr;
+  size_t vt_len = 0;
+  int64_t pos = 0;
+  const uint8_t* packed = nullptr;  // row_bytes
+  const uint8_t* ploidy = nullptr;  // nullptr/0-len = all-diploid
+  size_t ploidy_len = 0;
+};
+
+RecView view_of(const Record& rec) {
+  RecView v;
+  v.chrom = rec.chrom.data();
+  v.chrom_len = rec.chrom.size();
+  v.rsid = rec.rsid.data();
+  v.rsid_len = rec.rsid.size();
+  v.ref = rec.ref.data();
+  v.ref_len = rec.ref.size();
+  v.alt = rec.alt.data();
+  v.alt_len = rec.alt.size();
+  v.vt = rec.vt.data();
+  v.vt_len = rec.vt.size();
+  v.pos = rec.pos;
+  v.packed = rec.packed.data();
+  v.ploidy = rec.ploidy.empty() ? nullptr : rec.ploidy.data();
+  v.ploidy_len = rec.ploidy.size();
+  return v;
+}
+
+// Column-arena output of one parsed chunk: contiguous packed rows +
+// string arenas with offset tables.  Appending reuses capacity — no
+// per-record heap objects survive the worker (the r4 profile showed the
+// per-record Record allocation/teardown serializing on the coordinator).
+struct RecArena {
+  std::vector<uint8_t> packed;
+  std::vector<int64_t> pos;
+  std::string chrom, rsid, ref, alt, vt;
+  std::vector<uint32_t> chrom_off{0}, rsid_off{0}, ref_off{0}, alt_off{0},
+      vt_off{0};
+  std::vector<uint8_t> ploidy;
+  std::vector<uint32_t> ploidy_off{0};
+  size_t n = 0;
+
+  void append(const Record& rec) {
+    packed.insert(packed.end(), rec.packed.begin(), rec.packed.end());
+    pos.push_back(rec.pos);
+    chrom += rec.chrom;
+    chrom_off.push_back(static_cast<uint32_t>(chrom.size()));
+    rsid += rec.rsid;
+    rsid_off.push_back(static_cast<uint32_t>(rsid.size()));
+    ref += rec.ref;
+    ref_off.push_back(static_cast<uint32_t>(ref.size()));
+    alt += rec.alt;
+    alt_off.push_back(static_cast<uint32_t>(alt.size()));
+    vt += rec.vt;
+    vt_off.push_back(static_cast<uint32_t>(vt.size()));
+    ploidy.insert(ploidy.end(), rec.ploidy.begin(), rec.ploidy.end());
+    ploidy_off.push_back(static_cast<uint32_t>(ploidy.size()));
+    ++n;
+  }
+
+  RecView view(size_t k, int64_t row_bytes) const {
+    RecView v;
+    v.chrom = chrom.data() + chrom_off[k];
+    v.chrom_len = chrom_off[k + 1] - chrom_off[k];
+    v.rsid = rsid.data() + rsid_off[k];
+    v.rsid_len = rsid_off[k + 1] - rsid_off[k];
+    v.ref = ref.data() + ref_off[k];
+    v.ref_len = ref_off[k + 1] - ref_off[k];
+    v.alt = alt.data() + alt_off[k];
+    v.alt_len = alt_off[k + 1] - alt_off[k];
+    v.vt = vt.data() + vt_off[k];
+    v.vt_len = vt_off[k + 1] - vt_off[k];
+    v.pos = pos[k];
+    v.packed = packed.data() + static_cast<size_t>(k) * row_bytes;
+    size_t pl = ploidy_off[k + 1] - ploidy_off[k];
+    v.ploidy = pl ? ploidy.data() + ploidy_off[k] : nullptr;
+    v.ploidy_len = pl;
+    return v;
+  }
+};
+
 // Consecutive identical (CHROM, POS, ID) triples are dropped ENTIRELY,
 // which needs a one-record emission delay (reference
 // prep_intgen_data.py:163-176 applies the same run-suppression rule).
+// The pending record is held as a VIEW into whatever buffer produced it;
+// callers must call own_pending() before that buffer dies (once per
+// chunk seam) — the only deep copy in the merge path.
 class DedupEmitter {
  public:
   explicit DedupEmitter(VpResult* r) : r_(r) {}
 
-  void push(Record&& rec) {
-    if (valid_ && pending_.pos == rec.pos && pending_.chrom == rec.chrom &&
-        pending_.rsid == rec.rsid) {
+  void push(const RecView& v) {
+    if (valid_ && pending_.pos == v.pos &&
+        pending_.chrom_len == v.chrom_len &&
+        memcmp(pending_.chrom, v.chrom, v.chrom_len) == 0 &&
+        pending_.rsid_len == v.rsid_len &&
+        memcmp(pending_.rsid, v.rsid, v.rsid_len) == 0) {
       pending_dup_ = true;
       return;
     }
     if (valid_ && !pending_dup_) emit();
-    pending_ = std::move(rec);
+    pending_ = v;
     valid_ = true;
     pending_dup_ = false;
+  }
+
+  // Deep-copy the pending view into owned buffers (and repoint at them).
+  void own_pending() {
+    if (!valid_) return;
+    owned_.chrom.assign(pending_.chrom, pending_.chrom_len);
+    owned_.rsid.assign(pending_.rsid, pending_.rsid_len);
+    owned_.ref.assign(pending_.ref, pending_.ref_len);
+    owned_.alt.assign(pending_.alt, pending_.alt_len);
+    owned_.vt.assign(pending_.vt, pending_.vt_len);
+    owned_.pos = pending_.pos;
+    owned_.packed.assign(pending_.packed, pending_.packed + r_->row_bytes);
+    if (pending_.ploidy != nullptr) {
+      owned_.ploidy.assign(pending_.ploidy,
+                           pending_.ploidy + pending_.ploidy_len);
+    } else {
+      owned_.ploidy.clear();
+    }
+    pending_ = view_of(owned_);
   }
 
   void finish() {
@@ -325,27 +506,27 @@ class DedupEmitter {
 
  private:
   void emit() {
-    r_->packed.insert(r_->packed.end(), pending_.packed.begin(),
-                      pending_.packed.end());
+    r_->packed.append(pending_.packed, static_cast<size_t>(r_->row_bytes));
     r_->positions.push_back(pending_.pos);
-    r_->rsids += pending_.rsid;
+    r_->rsids.append(pending_.rsid, pending_.rsid_len);
     r_->rsids += '\n';
-    r_->refs += pending_.ref;
+    r_->refs.append(pending_.ref, pending_.ref_len);
     r_->refs += '\n';
-    r_->alts += pending_.alt;
+    r_->alts.append(pending_.alt, pending_.alt_len);
     r_->alts += '\n';
-    r_->vts += pending_.vt;
+    r_->vts.append(pending_.vt, pending_.vt_len);
     r_->vts += '\n';
     r_->pgroups.push_back(profile_id());
     ++r_->n_variants;
   }
 
-  // Intern the pending record's ploidy profile; empty vector = profile 0
+  // Intern the pending record's ploidy profile; no span = profile 0
   // (all-diploid).  Runs only on the single-threaded emit path (scan
   // loop / MT merge coordinator), so a plain map is fine.
   int16_t profile_id() {
-    if (pending_.ploidy.empty()) return 0;
-    auto it = profile_ids_.find(pending_.ploidy);
+    if (pending_.ploidy == nullptr) return 0;
+    key_.assign(pending_.ploidy, pending_.ploidy + pending_.ploidy_len);
+    auto it = profile_ids_.find(key_);
     if (it != profile_ids_.end()) return it->second;
     if (r_->n_profiles >= 32767) {
       // int16 group ids; real chromosomes have a handful of profiles
@@ -354,15 +535,16 @@ class DedupEmitter {
       return 0;
     }
     int16_t gid = static_cast<int16_t>(r_->n_profiles);
-    profile_ids_.emplace(pending_.ploidy, gid);
-    r_->profiles.insert(r_->profiles.end(), pending_.ploidy.begin(),
-                        pending_.ploidy.end());
+    profile_ids_.emplace(key_, gid);
+    r_->profiles.insert(r_->profiles.end(), key_.begin(), key_.end());
     ++r_->n_profiles;
     return gid;
   }
 
   VpResult* r_;
-  Record pending_;
+  RecView pending_;
+  Record owned_;
+  std::vector<uint8_t> key_;
   std::map<std::vector<uint8_t>, int16_t> profile_ids_;
   bool valid_ = false;
   bool pending_dup_ = false;
@@ -462,7 +644,10 @@ void scan_single_threaded(const char* path, VpResult* r) {
   size_t len;
   bool have_header = false;
   DedupEmitter emitter(r);
-  Record rec;
+  // double buffer: the emitter's pending record is a VIEW of the
+  // previous line's Record, so parse the next line into the other one
+  Record recs[2];
+  int cur = 0;
 
   while (reader.next_line(&line, &len)) {
     if (len > 0 && line[len - 1] == '\r') --len;
@@ -478,10 +663,11 @@ void scan_single_threaded(const char* path, VpResult* r) {
       r->error = "no #CHROM header before data lines";
       return;
     }
-    switch (parse_data_line(line, len, r->n_haplotypes, r->row_bytes, &rec,
-                            &r->error)) {
+    switch (parse_data_line(line, len, r->n_haplotypes, r->row_bytes,
+                            &recs[cur], &r->error)) {
       case LineVerdict::kKept:
-        emitter.push(std::move(rec));
+        emitter.push(view_of(recs[cur]));
+        cur ^= 1;
         break;
       case LineVerdict::kSkipped:
         break;
@@ -515,7 +701,7 @@ struct ChunkOut {
   bool has_newline = false;
   std::string head;                  // text before first '\n'
   std::string tail;                  // text after last '\n' (or all text)
-  std::vector<Record> records;       // complete interior lines, in order
+  RecArena recs;                     // complete interior lines, in order
   std::string error;
 };
 
@@ -565,34 +751,60 @@ class BoundedQueue {
 };
 
 // Reorder buffer: workers deposit ChunkOuts by sequence number, the
-// coordinator consumes them strictly in order.
+// coordinator consumes them strictly in order.  BOUNDED: a put of any
+// chunk other than the one the coordinator needs next blocks while
+// `cap` chunks are already parked, so workers can never run unboundedly
+// ahead of the in-order merge (at GB scale that lag was the RSS blowup
+// and the cache-thrash behind the r4 thread-scaling collapse).  The
+// chunk the coordinator is waiting for is always admitted — no deadlock.
 class ReorderBuffer {
  public:
+  explicit ReorderBuffer(size_t cap) : cap_(cap) {}
+
   void put(std::unique_ptr<ChunkOut> c) {
-    std::lock_guard<std::mutex> lk(mu_);
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_put_.wait(lk, [&] {
+      return closed_ || ready_.size() < cap_ || c->seq <= next_needed_;
+    });
+    if (closed_) return;
     ready_[c->seq] = std::move(c);
-    cv_.notify_all();
+    cv_take_.notify_all();
   }
 
   // Blocks until chunk `seq` is available or all workers exited.
   std::unique_ptr<ChunkOut> take(int64_t seq, std::atomic<int>* live_workers) {
     std::unique_lock<std::mutex> lk(mu_);
-    cv_.wait(lk, [&] {
+    next_needed_ = seq;
+    cv_put_.notify_all();
+    cv_take_.wait(lk, [&] {
       return ready_.count(seq) > 0 || live_workers->load() == 0;
     });
     auto it = ready_.find(seq);
     if (it == ready_.end()) return nullptr;
     auto c = std::move(it->second);
     ready_.erase(it);
+    next_needed_ = seq + 1;
+    cv_put_.notify_all();
     return c;
   }
 
-  void notify() { cv_.notify_all(); }
+  void notify() { cv_take_.notify_all(); }
+
+  void close() {  // abort: unblock blocked putters, drop parked chunks
+    std::lock_guard<std::mutex> lk(mu_);
+    closed_ = true;
+    ready_.clear();
+    cv_put_.notify_all();
+    cv_take_.notify_all();
+  }
 
  private:
   std::mutex mu_;
-  std::condition_variable cv_;
+  std::condition_variable cv_put_, cv_take_;
   std::map<int64_t, std::unique_ptr<ChunkOut>> ready_;
+  size_t cap_;
+  int64_t next_needed_ = 0;
+  bool closed_ = false;
 };
 
 // Reads one BGZF member header from `fp`; returns the total member size
@@ -674,7 +886,7 @@ void parse_chunk_text(const std::string& text, int64_t n_haplotypes,
       switch (parse_data_line(p, llen, n_haplotypes, row_bytes, &rec,
                               &out->error)) {
         case LineVerdict::kKept:
-          out->records.push_back(std::move(rec));
+          out->recs.append(rec);  // rec's buffers are reused next line
           break;
         case LineVerdict::kSkipped:
           break;
@@ -768,7 +980,7 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
   // enough that even a few-MB fixture fans out, coarse enough (~10 MB of
   // text at typical VCF ratios) that queue + seam overhead stays noise
   BoundedQueue in_queue(static_cast<size_t>(2 * n_threads + 2));
-  ReorderBuffer reorder;
+  ReorderBuffer reorder(static_cast<size_t>(2 * n_threads + 2));
   std::atomic<int> live_workers{n_threads};
   std::atomic<int64_t> n_batches{-1};
 
@@ -872,7 +1084,10 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
       r->error = c0.error;
       abort.store(true);
     } else {
-      for (auto& rr : c0.records) emitter.push(std::move(rr));
+      for (size_t k = 0; k < c0.recs.n; ++k) {
+        emitter.push(c0.recs.view(k, row_bytes));
+      }
+      emitter.own_pending();  // c0's arena dies here
       carry = std::move(c0.tail);
     }
   }
@@ -901,7 +1116,8 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
         switch (parse_data_line(seam.data(), seam.size(), n_hap, row_bytes,
                                 &rec, &r->error)) {
           case LineVerdict::kKept:
-            emitter.push(std::move(rec));
+            emitter.push(view_of(rec));
+            emitter.own_pending();  // rec is reused at the next seam
             break;
           case LineVerdict::kSkipped:
             break;
@@ -910,7 +1126,10 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
         }
         if (!r->error.empty()) break;
       }
-      for (auto& rr : c->records) emitter.push(std::move(rr));
+      for (size_t k = 0; k < c->recs.n; ++k) {
+        emitter.push(c->recs.view(k, row_bytes));
+      }
+      emitter.own_pending();  // this chunk's arena is freed below
       carry = std::move(c->tail);
     }
     ++next_seq;
@@ -922,7 +1141,7 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
     switch (parse_data_line(carry.data(), carry.size(), n_hap, row_bytes,
                             &rec, &r->error)) {
       case LineVerdict::kKept:
-        emitter.push(std::move(rec));
+        emitter.push(view_of(rec));
         break;
       default:
         break;
@@ -930,6 +1149,7 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
   }
   if (r->error.empty()) emitter.finish();
 
+  reorder.close();  // unblock any worker parked in a bounded put
   in_queue.close();
   reader.join();
   for (auto& w : workers) w.join();
@@ -967,7 +1187,7 @@ VpResult* vp_scan(const char* path) { return vp_scan_mt(path, 1); }
 int64_t vp_n_variants(VpResult* r) { return r->n_variants; }
 int64_t vp_n_haplotypes(VpResult* r) { return r->n_haplotypes; }
 int64_t vp_row_bytes(VpResult* r) { return r->row_bytes; }
-const uint8_t* vp_genotypes_packed(VpResult* r) { return r->packed.data(); }
+void vp_packed_copy(VpResult* r, uint8_t* dst) { r->packed.copy_to(dst); }
 const int64_t* vp_positions(VpResult* r) { return r->positions.data(); }
 const char* vp_rsids(VpResult* r) { return r->rsids.c_str(); }
 const char* vp_refs(VpResult* r) { return r->refs.c_str(); }

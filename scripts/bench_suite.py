@@ -21,6 +21,9 @@ Configs (BASELINE.md):
 6c. 10k-variant COLUMNAR heatmap (O(n) hover strings).
 4c. chr2-scale scan (204,800 variants) — amortizes per-scan constants.
 0gb. opt-in GB-scale ingest (>=1 GiB BGZF fixture, per-thread MB/s+RSS).
+wg. opt-in whole-genome prep: 6 chromosomes, >=5 GiB BGZF, one
+    prep_intgen_data invocation end-to-end (the reference's 'half a
+    day' prep claim, measured).
 """
 
 import argparse
@@ -373,22 +376,14 @@ def config4c():
                hits=len(hits.i), phases=phases)
 
 
-def config0gb():
-    """GB-scale ingest (VERDICT r3 next #6): stream-generate a >=1 GiB
-    BGZF fixture (1000G sample count) and measure the native scanner's
-    wall time, VCF-text MB/s, and peak RSS per thread count in a fresh
-    subprocess.  The reference's one-time prep for real 1000G data is
-    'approximately half a day' (reference README.md:73)."""
-    import subprocess
-
+def _write_gb_fixture(path, chrom, n_samples, target_bytes, rng,
+                      level=1, rs_base=0):
+    """Stream-generate a BGZF VCF of ~target_bytes compressed size for
+    one chromosome; returns (n_variants, text_bytes).  Level 1: speed
+    over ratio — the scanner decompresses either way, and generation
+    must stay off the benchmark's critical path."""
     from ld_tools_tpu.ingest import synth
 
-    n_samples = 2504
-    target = 1 << 30
-    d = tempfile.mkdtemp(prefix="tpu_ld_gb_")
-    path = os.path.join(d, "1.vcf.gz")
-    rng = np.random.default_rng(0)
-    t0 = time.time()
     n_base = 256
     base = (
         rng.random((n_base, 2 * n_samples))
@@ -398,28 +393,62 @@ def config0gb():
     v = 0
     text_bytes = 0
     with open(path, "wb") as raw:
-        w = synth.BgzfWriter(raw, level=1)  # speed over ratio: the
-        # scanner decompresses either way, and level 1 is what keeps the
-        # fixture generation off the critical path
+        w = synth.BgzfWriter(raw, level=level)
         w.write(b"##fileformat=VCFv4.1\n")
         w.write(
             b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
             + "\t".join(f"S{i:05d}" for i in range(n_samples)).encode()
             + b"\n"
         )
-        while raw.tell() < target:
+        cpfx = f"{chrom}\t".encode()
+        while raw.tell() < target_bytes:
             for _ in range(n_base):
                 v += 1
                 line = (
-                    f"1\t{v * 50}\trs{v}\tA\tG\t100\tPASS\tVT=SNP\tGT\t"
-                ).encode() + gt_lines[v % n_base] + b"\n"
+                    cpfx + f"{v * 50}\trs{rs_base + v}\tA\tG\t100\tPASS\t"
+                    f"VT=SNP\tGT\t".encode()
+                    + gt_lines[v % n_base] + b"\n"
+                )
                 w.write(line)
                 text_bytes += len(line)
         w.close()
-    gen_s = time.time() - t0
+    return v, text_bytes
+
+
+def config0gb():
+    """GB-scale ingest (VERDICT r3 next #6): stream-generate a >=1 GiB
+    BGZF fixture (1000G sample count) and measure the native scanner's
+    wall time, VCF-text MB/s, and peak RSS per thread count in a fresh
+    subprocess.  The reference's one-time prep for real 1000G data is
+    'approximately half a day' (reference README.md:73)."""
+    import subprocess
+
+    n_samples = 2504
+    reuse = os.environ.get("TPU_LD_GB_FIXTURE")
+    if reuse and os.path.exists(reuse) and os.path.exists(
+        reuse + ".meta.json"
+    ):
+        # fixture reuse across suite invocations: generation (~1 min) is
+        # off the measured path either way, but re-runs shouldn't pay it
+        path = reuse
+        with open(reuse + ".meta.json") as fh:
+            fix_meta = json.load(fh)
+        v = fix_meta["v"]
+        text_bytes = fix_meta["text_bytes"]
+    else:
+        d = tempfile.mkdtemp(prefix="tpu_ld_gb_")
+        path = os.path.join(d, "1.vcf.gz")
+        t0 = time.time()
+        v, text_bytes = _write_gb_fixture(
+            path, "1", n_samples, 1 << 30, np.random.default_rng(0)
+        )
+        gen_s = time.time() - t0
+        with open(path + ".meta.json", "w") as fh:
+            json.dump({"v": v, "text_bytes": text_bytes}, fh)
+        size_gb = os.path.getsize(path) / 2**30
+        print(f"config0gb fixture: {size_gb:.2f} GiB BGZF, {v} variants, "
+              f"{text_bytes / 2**30:.1f} GiB text, generated in {gen_s:.0f}s")
     size_gb = os.path.getsize(path) / 2**30
-    print(f"config0gb fixture: {size_gb:.2f} GiB BGZF, {v} variants, "
-          f"{text_bytes / 2**30:.1f} GiB text, generated in {gen_s:.0f}s")
 
     child = (
         "import json, os, resource, sys, time\n"
@@ -453,6 +482,73 @@ def config0gb():
                variants=res["v"],
                peak_rss_mb=round(res["rss_mb"], 1),
                packed_mb=round(res["packed_mb"], 1))
+
+
+def config_wg():
+    """Whole-genome-scale prep, end-to-end (VERDICT r4 missing #3 /
+    next #2): a multi-chromosome >= 5 GiB BGZF dataset (1000G sample
+    count) through prep_intgen_data in ONE invocation — native scan +
+    bitpacked store + sidecars + conversion.db for every chromosome.
+    This is the measured replacement for the reference's 'approximately
+    half a day' one-time prep (reference README.md:73; its figure
+    includes FTP downloads, ours is local-disk compute — both are the
+    one-time cost before fully-offline LD queries)."""
+    from ld_tools_tpu.ingest import prep_intgen_data, synth
+
+    n_samples = 2504
+    n_chroms = 6
+    per_chrom = (5 * (1 << 30)) // n_chroms + (64 << 20)
+    d = tempfile.mkdtemp(prefix="tpu_ld_wg_")
+    t0 = time.time()
+    total_v = 0
+    total_text = 0
+    for k in range(n_chroms):
+        chrom = str(k + 1)
+        v, tb = _write_gb_fixture(
+            os.path.join(d, f"{chrom}.vcf.gz"), chrom, n_samples,
+            per_chrom, np.random.default_rng(100 + k),
+            rs_base=k * 50_000_000,
+        )
+        total_v += v
+        total_text += tb
+    synth.write_panel(
+        os.path.join(d, "samples.txt"),
+        [(f"S{i:05d}", "GBR", "EUR", "male" if i % 2 else "female")
+         for i in range(n_samples)],
+    )
+    gen_s = time.time() - t0
+    size_gb = sum(
+        os.path.getsize(os.path.join(d, f"{c + 1}.vcf.gz"))
+        for c in range(n_chroms)
+    ) / 2**30
+    print(
+        f"config_wg fixture: {n_chroms} chromosomes, {size_gb:.2f} GiB "
+        f"BGZF, {total_v} variants, {total_text / 2**30:.1f} GiB text, "
+        f"generated in {gen_s:.0f}s"
+    )
+    t0 = time.time()
+    prep_intgen_data(d)
+    dt = time.time() - t0
+    print(
+        f"config_wg prep: {dt:.0f}s end-to-end "
+        f"({total_text / dt / 1e6:.0f} MB/s text, "
+        f"{total_v / dt:.0f} variants/s; reference claim: ~half a day)"
+    )
+    record("wg_prep_5gb", dt, n_chroms=n_chroms,
+           bgzf_gib=round(size_gb, 2),
+           text_gib=round(total_text / 2**30, 2), variants=total_v,
+           mb_per_s=round(total_text / dt / 1e6, 1),
+           variants_per_s=round(total_v / dt, 1))
+    # re-running prep on a complete store must be a no-op (idempotent
+    # artifact checks, reference prep_intgen_data.py:30-150 semantics)
+    t0 = time.time()
+    prep_intgen_data(d)
+    dt2 = time.time() - t0
+    print(f"config_wg re-prep (idempotent no-op): {dt2:.1f}s")
+    record("wg_prep_5gb_rerun", dt2)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def config6c():
@@ -548,9 +644,10 @@ def main():
         ),
     }
     print(f"bench_suite backend={meta['backend']}")
-    table = {"0": config0, "0gb": config0gb, "1": config1, "2": config2,
-             "3": config3, "4": config4, "4c": config4c, "5": config5, "6": config6,
-             "6c": config6c}
+    table = {"0": config0, "0gb": config0gb, "wg": config_wg,
+             "1": config1, "2": config2,
+             "3": config3, "4": config4, "4c": config4c, "5": config5,
+             "6": config6, "6c": config6c}
     for c in args.configs.split(","):
         table[c.strip()]()
     if args.out:

@@ -278,8 +278,13 @@ def test_two_process_cooperative_scan_kill_and_resume(tmp_path):
     ckpt = tmp_path / "ckpt"
     ckpt.mkdir()
 
-    # round 1: both workers hard-exit mid-scan (at different batches)
-    outs = _launch_pair(worker, {"MODE": "die", "CKPT_DIR": str(ckpt)})
+    # round 1: both workers hard-exit mid-scan (at different batches).
+    # One retry absorbs environment flakes (coordinator port races under
+    # load) — the assertion is about checkpoint semantics, not sockets.
+    for attempt in range(2):
+        outs = _launch_pair(worker, {"MODE": "die", "CKPT_DIR": str(ckpt)})
+        if all(rc == 3 for rc, _, _ in outs):
+            break
     assert all(rc == 3 for rc, _, _ in outs), outs
     partial = list(ckpt.glob("scan_*_batch*.npz"))
     assert len(partial) >= 2  # both processes left checkpoints behind
