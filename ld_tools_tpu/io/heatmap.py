@@ -277,41 +277,190 @@ def build_figure_columnar(
     return {"data": [trace], "layout": layout, "columnar": columnar}
 
 
+# --- pooled overview payload (very large figures) --------------------------
+#
+# Even columnar, a 10k-variant figure ships ~100M int16 codes (267 MB of
+# HTML).  Past _OVERVIEW_MIN variants the HTML switches to a pooled
+# OVERVIEW: the pool grid max-pools f x f cell regions (f = ceil(n /
+# _OVERVIEW_P)) by the color measure, and each pool cell carries its
+# REPRESENTATIVE pair — the member pair maximizing max(measure, 0) — as
+# (exact r2 code, exact dp code, i, j).  Hover shows that pair in the
+# reference's exact format under a region banner; the full-resolution
+# figure JSON (-j) is unchanged.  Mixed-ploidy (chrX int32-code) figures
+# keep the full columnar payload — their sets never approach this size.
+
+_OVERVIEW_MIN = 4096   # variants; above this the HTML pools (env-overridable
+                       # by the tool layer)
+_OVERVIEW_P = 2000     # target pool-grid side
+_POOL_SHIFT = 17       # bits for each of i/j in the pooling composite
+
+
+def pool_shape(n: int):
+    """(f, P): pool factor and grid side for an n-variant overview."""
+    f = -(-n // _OVERVIEW_P)
+    return f, -(-n // f)
+
+
+def pool_rows_composite(pooled, values, int_zero, row_lo: int, row_hi: int,
+                        f: int) -> None:
+    """Max-pool rows [row_lo, row_hi) of a rounded value block into the
+    (P, P) int64 composite accumulator ``pooled`` (init -1).
+
+    Composite = (key << 34) | (i << 17) | j with key = max(round(v*1e4),
+    0) and int-0 sentinels as 0 — so the elementwise max picks the pair
+    maximizing the displayed measure, and its (i, j) ride along for free.
+    Supports n < 2^17 (131k variants — far past any sane heatmap).
+    """
+    import numpy as np
+
+    rows = row_hi - row_lo
+    assert row_hi < (1 << _POOL_SHIFT)
+    cols = np.asarray(values[0]).shape[0] if rows else 0
+    if rows == 0 or cols == 0:
+        return
+    vals = np.asarray(values, dtype=np.float64)[:, :cols]
+    q = np.rint(vals * 1e4).astype(np.int64)
+    q[np.asarray(int_zero, dtype=bool)[:, :cols]] = 0
+    np.maximum(q, 0, out=q)
+    i_idx = np.arange(row_lo, row_hi, dtype=np.int64)[:, None]
+    j_idx = np.arange(cols, dtype=np.int64)[None, :]
+    comp = (q << 34) | (i_idx << _POOL_SHIFT) | j_idx
+    comp[j_idx >= i_idx] = -1  # strict lower triangle only
+    col_starts = np.arange(0, cols, f)
+    colred = np.maximum.reduceat(comp, col_starts, axis=1)
+    pr = np.arange(row_lo, row_hi) // f
+    row_starts = np.concatenate(([0], np.flatnonzero(np.diff(pr)) + 1))
+    rowred = np.maximum.reduceat(colred, row_starts, axis=0)
+    pr_vals = pr[row_starts]
+    w = colred.shape[1]
+    # advanced indexing yields a copy — assign back explicitly
+    pooled[pr_vals, :w] = np.maximum(pooled[pr_vals, :w], rowred)
+
+
+def build_figure_overview(
+    *,
+    n: int,
+    rs_ids,
+    positions,
+    alleles,
+    types,
+    measure: str,
+    thres,
+    pooled,
+    r2_q: bytes,
+    dp_q: bytes,
+    color_pal: str,
+    title_text: str,
+    footer_text,
+    square_shape: bool,
+    freq_q,
+) -> dict:
+    """Figure dict with the pooled overview payload.
+
+    ``pooled`` is the (P, P) composite accumulator filled by
+    pool_rows_composite; ``r2_q``/``dp_q`` are the FULL int16 triangle
+    buffers (the representative pairs' exact codes are gathered from
+    them, then the full buffers are dropped — only O(P^2) survives into
+    the HTML).
+    """
+    import base64
+
+    import numpy as np
+
+    f, P = pool_shape(n)
+    assert pooled.shape == (P, P)
+    r2_full = np.frombuffer(r2_q, dtype="<i2")
+    dp_full = np.frombuffer(dp_q, dtype="<i2")
+    # pooled lower triangle INCLUDING the diagonal (diagonal pool cells
+    # hold their sub-diagonal member pairs), row-major
+    pi, pj = np.tril_indices(P)
+    comp = pooled[pi, pj]
+    valid = comp >= 0
+    i_arr = ((comp >> _POOL_SHIFT) & ((1 << _POOL_SHIFT) - 1))
+    j_arr = comp & ((1 << _POOL_SHIFT) - 1)
+    t_full = (i_arr * (i_arr - 1)) // 2 + j_arr
+    t_safe = np.where(valid, t_full, 0)
+    r2o = np.where(valid, r2_full[t_safe], 0).astype("<i2")
+    dpo = np.where(valid, dp_full[t_safe], 0).astype("<i2")
+    io = np.where(valid, i_arr, -1).astype("<i4")
+    jo = np.where(valid, j_arr, -1).astype("<i4")
+    overview = {
+        "n": n,
+        "P": P,
+        "f": f,
+        "measure": measure,
+        "thres": thres,
+        "qs": _Q_WIDTHS["i2"],
+        "rsids": list(rs_ids),
+        "pos": [int(p) for p in positions],
+        "alleles": list(alleles),
+        "types": list(types),
+        "freqq": [int(v) for v in freq_q],
+        "r2o": base64.b64encode(r2o.tobytes()).decode(),
+        "dpo": base64.b64encode(dpo.tobytes()).decode(),
+        "io": base64.b64encode(io.tobytes()).decode(),
+        "jo": base64.b64encode(jo.tobytes()).decode(),
+    }
+    layout = {
+        "title": {"text": title_text},
+        "xaxis": {"side": "bottom", "showticklabels": False},
+        "yaxis": {"autorange": "reversed", "showticklabels": False},
+    }
+    if square_shape:
+        layout["xaxis"]["constraintoward"] = "left"
+        layout["yaxis"]["scaleanchor"] = "x"
+        layout["yaxis"]["scaleratio"] = 1
+        layout["plot_bgcolor"] = "rgba(0,0,0,0)"
+    if footer_text is not None:
+        layout["xaxis"]["title"] = {"text": footer_text, "font": {"size": 10}}
+    trace = {
+        "type": "heatmap",
+        "hoverinfo": "text",
+        "xgap": 1,
+        "ygap": 1,
+        "colorscale": colorscale_stops(color_pal),
+        "showscale": False,
+    }
+    return {"data": [trace], "layout": layout, "overview": overview}
+
+
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>LD heatmap</title>
 <style>
- body {{ font-family: sans-serif; margin: 12px; }}
- #title {{ white-space: pre-line; font-size: 14px; }}
- #footer {{ white-space: pre-line; font-size: 10px; color: #444; }}
- #wrap {{ position: relative; display: inline-block; }}
- #tip {{ position: absolute; display: none; background: #fff; border: 1px solid #888;
+ body { font-family: sans-serif; margin: 12px; }
+ #title { white-space: pre-line; font-size: 14px; }
+ #footer { white-space: pre-line; font-size: 10px; color: #444; }
+ #hint { font-size: 10px; color: #888; }
+ #wrap { position: relative; display: inline-block; }
+ #tip { position: absolute; display: none; background: #fff; border: 1px solid #888;
         padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
-        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; }}
- canvas {{ image-rendering: pixelated; }}
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; }
+ canvas { image-rendering: pixelated; cursor: crosshair; }
 </style></head><body>
 <div id="title"></div>
 <div id="wrap"><canvas id="hm"></canvas><div id="tip"></div></div>
+<div id="hint">scroll to zoom &#183; drag to pan &#183; double-click to reset</div>
 <div id="footer"></div>
 <script>
-const FIG = {figure_json};
+const FIG = __FIGURE_JSON__;
 const trace = FIG.data[0];
 const z = trace.z, info = trace.hovertext, n = z.length;
 const stops = trace.colorscale;
 const labels = trace.x || null;
-const fontSize = (FIG.layout.xaxis.tickfont||{{}}).size || 11;
-function hex2rgb(h) {{ return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }}
-function colorAt(t) {{
-  for (let k = 1; k < stops.length; k++) {{
-    if (t <= stops[k][0]) {{
+const fontSize = (FIG.layout.xaxis.tickfont||{}).size || 11;
+function hex2rgb(h) { return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }
+function colorAt(t) {
+  for (let k = 1; k < stops.length; k++) {
+    if (t <= stops[k][0]) {
       const a = hex2rgb(stops[k-1][1]), b = hex2rgb(stops[k][1]);
       const u = (t - stops[k-1][0]) / (stops[k][0] - stops[k-1][0] || 1);
       return [0,1,2].map(i => Math.round(a[i] + (b[i]-a[i]) * u));
-    }}
-  }}
+    }
+  }
   return hex2rgb(stops[stops.length-1][1]);
-}}
+}
 let zmin = Infinity, zmax = -Infinity;
-for (const row of z) for (const v of row) {{ if (v < zmin) zmin = v; if (v > zmax) zmax = v; }}
+for (const row of z) for (const v of row) { if (v < zmin) zmin = v; if (v > zmax) zmax = v; }
 if (zmax === zmin) zmax = zmin + 1;
 const margin = labels ? 90 : 10;
 const cell = Math.max(3, Math.min(28, Math.floor(900 / n)));
@@ -320,48 +469,112 @@ const size = n * cell;
 const canvas = document.getElementById('hm');
 canvas.width = size + margin; canvas.height = size + margin;
 const ctx = canvas.getContext('2d');
-ctx.fillStyle = '#ffffff'; ctx.fillRect(0, 0, canvas.width, canvas.height);
-// y autorange is reversed in the figure: row 0 renders at the top.
-for (let i = 0; i < n; i++) for (let j = 0; j < n; j++) {{
-  const c = colorAt((z[i][j] - zmin) / (zmax - zmin));
-  ctx.fillStyle = `rgb(${{c[0]}},${{c[1]}},${{c[2]}})`;
-  ctx.fillRect(margin + j*cell, i*cell, cell - gap, cell - gap);
-}}
-const showNums = {show_numbers};
-if (labels) {{
-  ctx.fillStyle = '#000'; ctx.font = fontSize + 'px sans-serif';
-  for (let j = 0; j < n; j++) {{
-    ctx.save();
-    ctx.translate(margin + j*cell + cell/2, size + 4);
-    ctx.rotate(Math.PI/2); ctx.textBaseline = 'middle';
-    ctx.fillText(labels[j], 0, 0); ctx.restore();
-  }}
-  ctx.textAlign = 'right'; ctx.textBaseline = 'middle';
-  for (let i = 0; i < n; i++) ctx.fillText(labels[i], margin - 4, i*cell + cell/2);
-  if (showNums && cell >= 14) {{
-    ctx.textAlign = 'center';
-    for (let i = 0; i < n; i++) for (let j = 0; j < n; j++) {{
-      const t = (z[i][j] - zmin) / (zmax - zmin);
-      ctx.fillStyle = t > 0.55 ? '#fff' : '#000';
-      ctx.fillText(String(z[i][j]).slice(0, 6), margin + j*cell + cell/2, i*cell + cell/2);
-    }}
-  }}
-}}
+const showNums = __SHOW_NUMBERS__;
+// Zoom/pan view state (plotly-modebar equivalents: wheel = zoom at
+// cursor, drag = pan, double-click = reset).  ox/oy are the top-left
+// origin in CELL units; s is the zoom factor.
+let view = {s: 1, ox: 0, oy: 0};
+function clampView() {
+  const px = cell * view.s, span = size / px;
+  view.ox = Math.min(Math.max(view.ox, 0), Math.max(0, n - span));
+  view.oy = Math.min(Math.max(view.oy, 0), Math.max(0, n - span));
+}
+function draw() {
+  const px = cell * view.s;
+  ctx.fillStyle = '#ffffff'; ctx.fillRect(0, 0, canvas.width, canvas.height);
+  // y autorange is reversed in the figure: row 0 renders at the top.
+  const i0 = Math.max(0, Math.floor(view.oy));
+  const i1 = Math.min(n, Math.ceil(view.oy + size / px));
+  const j0 = Math.max(0, Math.floor(view.ox));
+  const j1 = Math.min(n, Math.ceil(view.ox + size / px));
+  for (let i = i0; i < i1; i++) for (let j = j0; j < j1; j++) {
+    const c = colorAt((z[i][j] - zmin) / (zmax - zmin));
+    ctx.fillStyle = `rgb(${c[0]},${c[1]},${c[2]})`;
+    ctx.fillRect(margin + (j - view.ox) * px, (i - view.oy) * px,
+                 px - gap, px - gap);
+  }
+  ctx.fillStyle = '#ffffff';
+  ctx.fillRect(0, 0, margin, canvas.height);
+  ctx.fillRect(0, size, canvas.width, canvas.height - size);
+  if (labels) {
+    ctx.fillStyle = '#000'; ctx.font = fontSize + 'px sans-serif';
+    for (let j = j0; j < j1; j++) {
+      ctx.save();
+      ctx.translate(margin + (j - view.ox) * px + px / 2, size + 4);
+      ctx.rotate(Math.PI / 2); ctx.textBaseline = 'middle';
+      ctx.fillText(labels[j], 0, 0); ctx.restore();
+    }
+    ctx.textAlign = 'right'; ctx.textBaseline = 'middle';
+    for (let i = i0; i < i1; i++) {
+      ctx.fillText(labels[i], margin - 4, (i - view.oy) * px + px / 2);
+    }
+    if (showNums && px >= 14) {
+      ctx.textAlign = 'center';
+      for (let i = i0; i < i1; i++) for (let j = j0; j < j1; j++) {
+        const t = (z[i][j] - zmin) / (zmax - zmin);
+        ctx.fillStyle = t > 0.55 ? '#fff' : '#000';
+        ctx.fillText(String(z[i][j]).slice(0, 6),
+                     margin + (j - view.ox) * px + px / 2,
+                     (i - view.oy) * px + px / 2);
+      }
+    }
+    ctx.textAlign = 'left';
+  }
+}
+let drawPending = false;
+function scheduleDraw() {
+  if (drawPending) return;
+  drawPending = true;
+  requestAnimationFrame(() => { drawPending = false; draw(); });
+}
+draw();
 const tip = document.getElementById('tip');
-canvas.addEventListener('mousemove', ev => {{
+let dragging = null;
+canvas.addEventListener('wheel', ev => {
+  ev.preventDefault();
   const r = canvas.getBoundingClientRect();
+  const cx = ev.clientX - r.left - margin, cy = ev.clientY - r.top;
+  const px = cell * view.s;
+  const jC = view.ox + cx / px, iC = view.oy + cy / px;
+  view.s = Math.min(64, Math.max(1, view.s * (ev.deltaY < 0 ? 1.25 : 0.8)));
+  const npx = cell * view.s;
+  view.ox = jC - cx / npx; view.oy = iC - cy / npx;
+  clampView(); scheduleDraw();
+});
+canvas.addEventListener('mousedown', ev => {
+  dragging = {x: ev.clientX, y: ev.clientY, ox: view.ox, oy: view.oy,
+              moved: false};
+});
+window.addEventListener('mousemove', ev => {
+  if (!dragging) return;
+  const px = cell * view.s;
+  dragging.moved = true;
+  view.ox = dragging.ox - (ev.clientX - dragging.x) / px;
+  view.oy = dragging.oy - (ev.clientY - dragging.y) / px;
+  clampView(); scheduleDraw();
+  tip.style.display = 'none';
+});
+window.addEventListener('mouseup', () => dragging = null);
+canvas.addEventListener('dblclick', () => {
+  view = {s: 1, ox: 0, oy: 0}; scheduleDraw();
+});
+canvas.addEventListener('mousemove', ev => {
+  if (dragging) return;
+  const r = canvas.getBoundingClientRect();
+  const px = cell * view.s;
   const x = ev.clientX - r.left - margin, y = ev.clientY - r.top;
-  const j = Math.floor(x / cell), i = Math.floor(y / cell);
-  if (i >= 0 && i < n && j >= 0 && j < n && info[i][j]) {{
+  const j = Math.floor(view.ox + x / px), i = Math.floor(view.oy + y / px);
+  if (x >= 0 && y <= n * px && i >= 0 && i < n && j >= 0 && j < n
+      && info[i][j]) {
     tip.innerHTML = info[i][j];
     tip.style.display = 'block';
     tip.style.left = (ev.clientX - r.left + 14) + 'px';
     tip.style.top = (ev.clientY - r.top + 14) + 'px';
-  }} else tip.style.display = 'none';
-}});
+  } else tip.style.display = 'none';
+});
 canvas.addEventListener('mouseleave', () => tip.style.display = 'none');
-document.getElementById('title').textContent = (FIG.layout.title||{{}}).text || '';
-const xt = ((FIG.layout.xaxis||{{}}).title||{{}}).text || '';
+document.getElementById('title').textContent = (FIG.layout.title||{}).text || '';
+const xt = ((FIG.layout.xaxis||{}).title||{}).text || '';
 document.getElementById('footer').innerHTML = xt;
 </script></body></html>
 """
@@ -370,16 +583,19 @@ document.getElementById('footer').innerHTML = xt;
 _HTML_TEMPLATE_COLUMNAR = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>LD heatmap</title>
 <style>
- body {{ font-family: sans-serif; margin: 12px; }}
- #title {{ white-space: pre-line; font-size: 14px; }}
- #footer {{ white-space: pre-line; font-size: 10px; color: #444; }}
- #wrap {{ position: relative; display: inline-block; }}
- #tip {{ position: absolute; display: none; background: #fff; border: 1px solid #888;
+ body { font-family: sans-serif; margin: 12px; }
+ #title { white-space: pre-line; font-size: 14px; }
+ #footer { white-space: pre-line; font-size: 10px; color: #444; }
+ #hint { font-size: 10px; color: #888; }
+ #wrap { position: relative; display: inline-block; }
+ #tip { position: absolute; display: none; background: #fff; border: 1px solid #888;
         padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
-        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }}
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }
+ canvas { cursor: crosshair; }
 </style></head><body>
 <div id="title"></div>
 <div id="wrap"><canvas id="hm"></canvas><div id="tip"></div></div>
+<div id="hint">scroll to zoom &#183; drag to pan &#183; double-click to reset</div>
 <div id="footer"></div>
 <script>
 // Columnar payload: per-variant arrays are O(n) strings; the 4-dp value
@@ -388,23 +604,23 @@ _HTML_TEMPLATE_COLUMNAR = """<!DOCTYPE html>
 // per-cell format (ld_triangle.py:200-213); z is derived from the chosen
 // measure + threshold exactly like the table writer (sub-threshold cells
 // render 0 but keep their true hover values).
-const FIG = {figure_json};
+const FIG = __FIGURE_JSON__;
 const C = FIG.columnar, n = C.n;
 const stops = FIG.data[0].colorscale;
 const QW = C.qw, QS = C.qs;  // code byte width and sentinel magnitude
-function b64q(s) {{
+function b64q(s) {
   const bin = atob(s), m = bin.length / QW;
   const a = QW === 2 ? new Int16Array(m) : new Int32Array(m);
-  if (QW === 2) {{
+  if (QW === 2) {
     for (let k = 0; k < m; k++)
       a[k] = ((bin.charCodeAt(2*k) | (bin.charCodeAt(2*k+1) << 8)) << 16) >> 16;
-  }} else {{
+  } else {
     for (let k = 0; k < m; k++)
       a[k] = bin.charCodeAt(4*k) | (bin.charCodeAt(4*k+1) << 8)
            | (bin.charCodeAt(4*k+2) << 16) | (bin.charCodeAt(4*k+3) << 24);
-  }}
+  }
   return a;
-}}
+}
 const r2q = b64q(C.r2q), dpq = b64q(C.dpq);
 const f1q = C.f1q ? b64q(C.f1q) : null;
 const f2q = C.f2q ? b64q(C.f2q) : null;
@@ -412,81 +628,132 @@ const measq = C.measure === "r_square" ? r2q : dpq;
 const tri = (i, j) => i * (i - 1) / 2 + j;   // j < i
 // str(round(v, 4)) reconstruction, including the int-0 sentinel ('0'),
 // float zero ('0.0') and negative zero ('-0.0')
-function fmt(m) {{
+function fmt(m) {
   if (m === QS) return "0";
   if (m === -QS) return "-0.0";
   const sgn = m < 0 ? "-" : ""; m = Math.abs(m);
   const whole = Math.floor(m / 10000);
   let f = String(m % 10000).padStart(4, "0").replace(/0+$/, "");
   return sgn + whole + "." + (f || "0");
-}}
-function zAt(i, j) {{
+}
+function zAt(i, j) {
   if (j >= i) return 0;
   const m = measq[tri(i, j)];
   if (m === QS) return 0;
   const v = m / 1e4;
   if (C.thres !== null && v < C.thres) return 0;
   return v;
-}}
-function hex2rgb(h) {{ return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }}
-function colorAt(t) {{
-  for (let k = 1; k < stops.length; k++) {{
-    if (t <= stops[k][0]) {{
+}
+function hex2rgb(h) { return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }
+function colorAt(t) {
+  for (let k = 1; k < stops.length; k++) {
+    if (t <= stops[k][0]) {
       const a = hex2rgb(stops[k-1][1]), b = hex2rgb(stops[k][1]);
       const u = (t - stops[k-1][0]) / (stops[k][0] - stops[k-1][0] || 1);
       return [0,1,2].map(i => Math.round(a[i] + (b[i]-a[i]) * u));
-    }}
-  }}
+    }
+  }
   return hex2rgb(stops[stops.length-1][1]);
-}}
+}
 let zmin = 0, zmax = -Infinity;
-for (let k = 0; k < measq.length; k++) {{
+for (let k = 0; k < measq.length; k++) {
   const m = measq[k];
   if (m === QS || m === -QS) continue;
   const v = m / 1e4;
   if (C.thres !== null && v < C.thres) continue;
   if (v < zmin) zmin = v;
   if (v > zmax) zmax = v;
-}}
+}
 if (zmax <= zmin) zmax = zmin + 1;
-// fixed-size canvas with max-pooling when n exceeds the pixel budget
 const side = Math.min(900, Math.max(n, 64));
-const cell = Math.max(1, Math.floor(side / n));
-const px = n * cell <= side ? cell : side / n;
 const canvas = document.getElementById('hm');
-canvas.width = Math.ceil(n * px); canvas.height = Math.ceil(n * px);
+canvas.width = side; canvas.height = side;
 const ctx = canvas.getContext('2d');
-ctx.fillStyle = '#ffffff'; ctx.fillRect(0, 0, canvas.width, canvas.height);
-// y autorange is reversed in the figure: row 0 renders at the top.
-const img = ctx.createImageData(canvas.width, canvas.height);
-const W = canvas.width;
-// max-pool cells into pixels (several cells can share one pixel at
-// large n: keep the strongest signal so hits stay visible)
-const pool = new Float32Array(W * canvas.height);  // zeros = background
-for (let i = 1; i < n; i++) {{
-  const y0 = Math.floor(i * px), y1 = Math.max(y0 + 1, Math.floor((i + 1) * px));
-  for (let j = 0; j < i; j++) {{
-    const v = zAt(i, j);
-    if (v <= 0) continue;
-    const x0 = Math.floor(j * px), x1 = Math.max(x0 + 1, Math.floor((j + 1) * px));
-    for (let y = y0; y < y1; y++) for (let x = x0; x < x1; x++) {{
-      const o = y * W + x;
-      if (v > pool[o]) pool[o] = v;
-    }}
-  }}
-}}
-for (let o = 0; o < pool.length; o++) {{
-  const c = colorAt((pool[o] - zmin) / (zmax - zmin));
-  img.data[4*o] = c[0]; img.data[4*o+1] = c[1];
-  img.data[4*o+2] = c[2]; img.data[4*o+3] = 255;
-}}
-ctx.putImageData(img, 0, 0);
+// Zoom/pan view state: ox/oy = top-left origin in CELL units; px =
+// pixels per cell at the current zoom.  Every redraw max-pools the
+// VISIBLE cell range from the full-resolution payload, so zooming in IS
+// full-resolution hover/render on demand.
+let view = {px: side / n, ox: 0, oy: 0};
+function clampView() {
+  const span = side / view.px;
+  view.ox = Math.min(Math.max(view.ox, 0), Math.max(0, n - span));
+  view.oy = Math.min(Math.max(view.oy, 0), Math.max(0, n - span));
+}
+function draw() {
+  const px = view.px;
+  const img = ctx.createImageData(side, side);
+  const W = side;
+  // max-pool visible cells into pixels (several cells can share one
+  // pixel when zoomed out: keep the strongest signal so hits stay
+  // visible); y autorange is reversed — row 0 at the top
+  const pool = new Float32Array(W * side);  // zeros = background
+  const i0 = Math.max(1, Math.floor(view.oy));
+  const i1 = Math.min(n, Math.ceil(view.oy + side / px));
+  for (let i = i0; i < i1; i++) {
+    const yA = (i - view.oy) * px, yB = (i + 1 - view.oy) * px;
+    const y0 = Math.max(0, Math.floor(yA));
+    const y1 = Math.min(side, Math.max(y0 + 1, Math.floor(yB)));
+    if (y1 <= 0) continue;
+    const j0 = Math.max(0, Math.floor(view.ox));
+    const j1 = Math.min(i, Math.ceil(view.ox + side / px));
+    for (let j = j0; j < j1; j++) {
+      const v = zAt(i, j);
+      if (v <= 0) continue;
+      const xA = (j - view.ox) * px, xB = (j + 1 - view.ox) * px;
+      const x0 = Math.max(0, Math.floor(xA));
+      const x1 = Math.min(side, Math.max(x0 + 1, Math.floor(xB)));
+      for (let y = y0; y < y1; y++) for (let x = x0; x < x1; x++) {
+        const o = y * W + x;
+        if (v > pool[o]) pool[o] = v;
+      }
+    }
+  }
+  for (let o = 0; o < pool.length; o++) {
+    const c = colorAt((pool[o] - zmin) / (zmax - zmin));
+    img.data[4*o] = c[0]; img.data[4*o+1] = c[1];
+    img.data[4*o+2] = c[2]; img.data[4*o+3] = 255;
+  }
+  ctx.putImageData(img, 0, 0);
+}
+let drawPending = false;
+function scheduleDraw() {
+  if (drawPending) return;
+  drawPending = true;
+  requestAnimationFrame(() => { drawPending = false; draw(); });
+}
+draw();
 const tip = document.getElementById('tip');
-canvas.addEventListener('mousemove', ev => {{
+let dragging = null;
+canvas.addEventListener('wheel', ev => {
+  ev.preventDefault();
   const r = canvas.getBoundingClientRect();
-  const j = Math.floor((ev.clientX - r.left) / px);
-  const i = Math.floor((ev.clientY - r.top) / px);
-  if (i > 0 && i < n && j >= 0 && j < i) {{
+  const cx = ev.clientX - r.left, cy = ev.clientY - r.top;
+  const jC = view.ox + cx / view.px, iC = view.oy + cy / view.px;
+  const base = side / n;
+  view.px = Math.min(40, Math.max(base, view.px * (ev.deltaY < 0 ? 1.25 : 0.8)));
+  view.ox = jC - cx / view.px; view.oy = iC - cy / view.px;
+  clampView(); scheduleDraw();
+});
+canvas.addEventListener('mousedown', ev => {
+  dragging = {x: ev.clientX, y: ev.clientY, ox: view.ox, oy: view.oy};
+});
+window.addEventListener('mousemove', ev => {
+  if (!dragging) return;
+  view.ox = dragging.ox - (ev.clientX - dragging.x) / view.px;
+  view.oy = dragging.oy - (ev.clientY - dragging.y) / view.px;
+  clampView(); scheduleDraw();
+  tip.style.display = 'none';
+});
+window.addEventListener('mouseup', () => dragging = null);
+canvas.addEventListener('dblclick', () => {
+  view = {px: side / n, ox: 0, oy: 0}; scheduleDraw();
+});
+canvas.addEventListener('mousemove', ev => {
+  if (dragging) return;
+  const r = canvas.getBoundingClientRect();
+  const j = Math.floor(view.ox + (ev.clientX - r.left) / view.px);
+  const i = Math.floor(view.oy + (ev.clientY - r.top) / view.px);
+  if (i > 0 && i < n && j >= 0 && j < i) {
     const t = tri(i, j);
     const rs = C.rsids, pos = C.pos, al = C.alleles, ty = C.types;
     const fx = f2q ? fmt(f2q[t]) : fmt(C.freqq[j]);
@@ -504,25 +771,220 @@ canvas.addEventListener('mousemove', ev => {{
     tip.style.display = 'block';
     tip.style.left = (ev.clientX - r.left + 14) + 'px';
     tip.style.top = (ev.clientY - r.top + 14) + 'px';
-  }} else tip.style.display = 'none';
-}});
+  } else tip.style.display = 'none';
+});
 canvas.addEventListener('mouseleave', () => tip.style.display = 'none');
-document.getElementById('title').textContent = (FIG.layout.title||{{}}).text || '';
-const xt = ((FIG.layout.xaxis||{{}}).title||{{}}).text || '';
+document.getElementById('title').textContent = (FIG.layout.title||{}).text || '';
+const xt = ((FIG.layout.xaxis||{}).title||{}).text || '';
+document.getElementById('footer').innerHTML = xt;
+</script></body></html>
+"""
+
+
+_HTML_TEMPLATE_OVERVIEW = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>LD heatmap (overview)</title>
+<style>
+ body { font-family: sans-serif; margin: 12px; }
+ #title { white-space: pre-line; font-size: 14px; }
+ #footer { white-space: pre-line; font-size: 10px; color: #444; }
+ #hint { font-size: 10px; color: #888; }
+ #wrap { position: relative; display: inline-block; }
+ #tip { position: absolute; display: none; background: #fff; border: 1px solid #888;
+        padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }
+ canvas { cursor: crosshair; }
+</style></head><body>
+<div id="title"></div>
+<div id="wrap"><canvas id="hm"></canvas><div id="tip"></div></div>
+<div id="hint">pooled overview &#183; scroll to zoom &#183; drag to pan &#183;
+double-click to reset</div>
+<div id="footer"></div>
+<script>
+// Pooled overview payload: the figure max-pools f x f cell regions by
+// the color measure; each pool cell ships its representative pair's
+// EXACT 4-dp codes and indices, so hover shows a real pair in the
+// reference's per-cell format (ld_triangle.py:200-213) under a region
+// banner.  Full-resolution values live in the -j JSON, not the HTML.
+const FIG = __FIGURE_JSON__;
+const C = FIG.overview, n = C.n, P = C.P, F = C.f;
+const stops = FIG.data[0].colorscale;
+const QS = C.qs;
+function b64i(s, w) {
+  const bin = atob(s), m = bin.length / w;
+  const a = w === 2 ? new Int16Array(m) : new Int32Array(m);
+  if (w === 2) {
+    for (let k = 0; k < m; k++)
+      a[k] = ((bin.charCodeAt(2*k) | (bin.charCodeAt(2*k+1) << 8)) << 16) >> 16;
+  } else {
+    for (let k = 0; k < m; k++)
+      a[k] = bin.charCodeAt(4*k) | (bin.charCodeAt(4*k+1) << 8)
+           | (bin.charCodeAt(4*k+2) << 16) | (bin.charCodeAt(4*k+3) << 24);
+  }
+  return a;
+}
+const r2o = b64i(C.r2o, 2), dpo = b64i(C.dpo, 2);
+const io = b64i(C.io, 4), jo = b64i(C.jo, 4);
+const measo = C.measure === "r_square" ? r2o : dpo;
+const ptri = (pi, pj) => pi * (pi + 1) / 2 + pj;   // pj <= pi
+function fmt(m) {
+  if (m === QS) return "0";
+  if (m === -QS) return "-0.0";
+  const sgn = m < 0 ? "-" : ""; m = Math.abs(m);
+  const whole = Math.floor(m / 10000);
+  let f = String(m % 10000).padStart(4, "0").replace(/0+$/, "");
+  return sgn + whole + "." + (f || "0");
+}
+function zAt(pi, pj) {
+  if (pj > pi) return 0;
+  const t = ptri(pi, pj);
+  if (io[t] < 0) return 0;
+  const m = measo[t];
+  if (m === QS) return 0;
+  const v = m / 1e4;
+  if (C.thres !== null && v < C.thres) return 0;
+  return Math.max(v, 0);
+}
+function hex2rgb(h) { return [parseInt(h.slice(1,3),16), parseInt(h.slice(3,5),16), parseInt(h.slice(5,7),16)]; }
+function colorAt(t) {
+  for (let k = 1; k < stops.length; k++) {
+    if (t <= stops[k][0]) {
+      const a = hex2rgb(stops[k-1][1]), b = hex2rgb(stops[k][1]);
+      const u = (t - stops[k-1][0]) / (stops[k][0] - stops[k-1][0] || 1);
+      return [0,1,2].map(i => Math.round(a[i] + (b[i]-a[i]) * u));
+    }
+  }
+  return hex2rgb(stops[stops.length-1][1]);
+}
+let zmin = 0, zmax = -Infinity;
+for (let pi = 0; pi < P; pi++) for (let pj = 0; pj <= pi; pj++) {
+  const v = zAt(pi, pj);
+  if (v > zmax) zmax = v;
+}
+if (zmax <= zmin) zmax = zmin + 1;
+const side = Math.min(1000, Math.max(P, 64));
+const canvas = document.getElementById('hm');
+canvas.width = side; canvas.height = side;
+const ctx = canvas.getContext('2d');
+let view = {px: side / P, ox: 0, oy: 0};  // origin in POOL-cell units
+function clampView() {
+  const span = side / view.px;
+  view.ox = Math.min(Math.max(view.ox, 0), Math.max(0, P - span));
+  view.oy = Math.min(Math.max(view.oy, 0), Math.max(0, P - span));
+}
+function draw() {
+  const px = view.px, W = side;
+  const img = ctx.createImageData(side, side);
+  const pool = new Float32Array(W * side);
+  const i0 = Math.max(0, Math.floor(view.oy));
+  const i1 = Math.min(P, Math.ceil(view.oy + side / px));
+  for (let pi = i0; pi < i1; pi++) {
+    const y0 = Math.max(0, Math.floor((pi - view.oy) * px));
+    const y1 = Math.min(side, Math.max(y0 + 1, Math.floor((pi + 1 - view.oy) * px)));
+    if (y1 <= 0) continue;
+    const j0 = Math.max(0, Math.floor(view.ox));
+    const j1 = Math.min(pi + 1, Math.ceil(view.ox + side / px));
+    for (let pj = j0; pj < j1; pj++) {
+      const v = zAt(pi, pj);
+      if (v <= 0) continue;
+      const x0 = Math.max(0, Math.floor((pj - view.ox) * px));
+      const x1 = Math.min(side, Math.max(x0 + 1, Math.floor((pj + 1 - view.ox) * px)));
+      for (let y = y0; y < y1; y++) for (let x = x0; x < x1; x++) {
+        const o = y * W + x;
+        if (v > pool[o]) pool[o] = v;
+      }
+    }
+  }
+  for (let o = 0; o < pool.length; o++) {
+    const c = colorAt((pool[o] - zmin) / (zmax - zmin));
+    img.data[4*o] = c[0]; img.data[4*o+1] = c[1];
+    img.data[4*o+2] = c[2]; img.data[4*o+3] = 255;
+  }
+  ctx.putImageData(img, 0, 0);
+}
+let drawPending = false;
+function scheduleDraw() {
+  if (drawPending) return;
+  drawPending = true;
+  requestAnimationFrame(() => { drawPending = false; draw(); });
+}
+draw();
+const tip = document.getElementById('tip');
+let dragging = null;
+canvas.addEventListener('wheel', ev => {
+  ev.preventDefault();
+  const r = canvas.getBoundingClientRect();
+  const cx = ev.clientX - r.left, cy = ev.clientY - r.top;
+  const jC = view.ox + cx / view.px, iC = view.oy + cy / view.px;
+  const base = side / P;
+  view.px = Math.min(40, Math.max(base, view.px * (ev.deltaY < 0 ? 1.25 : 0.8)));
+  view.ox = jC - cx / view.px; view.oy = iC - cy / view.px;
+  clampView(); scheduleDraw();
+});
+canvas.addEventListener('mousedown', ev => {
+  dragging = {x: ev.clientX, y: ev.clientY, ox: view.ox, oy: view.oy};
+});
+window.addEventListener('mousemove', ev => {
+  if (!dragging) return;
+  view.ox = dragging.ox - (ev.clientX - dragging.x) / view.px;
+  view.oy = dragging.oy - (ev.clientY - dragging.y) / view.px;
+  clampView(); scheduleDraw();
+  tip.style.display = 'none';
+});
+window.addEventListener('mouseup', () => dragging = null);
+canvas.addEventListener('dblclick', () => {
+  view = {px: side / P, ox: 0, oy: 0}; scheduleDraw();
+});
+canvas.addEventListener('mousemove', ev => {
+  if (dragging) return;
+  const r = canvas.getBoundingClientRect();
+  const pj = Math.floor(view.ox + (ev.clientX - r.left) / view.px);
+  const pi = Math.floor(view.oy + (ev.clientY - r.top) / view.px);
+  if (pi >= 0 && pi < P && pj >= 0 && pj <= pi) {
+    const t = ptri(pi, pj);
+    if (io[t] < 0) { tip.style.display = 'none'; return; }
+    const i = io[t], j = jo[t];
+    const rs = C.rsids, pos = C.pos, al = C.alleles, ty = C.types;
+    tip.innerHTML = "[strongest pair of this " + F + "&#215;" + F
+      + "-variant region]<br>"
+      + "\\nr2: " + fmt(r2o[t]) + "<br>\\nD': " + fmt(dpo[t])
+      + "<br>\\nabs_dist: " + Math.abs(pos[j] - pos[i]) + "<br><br>\\n"
+      + rs[j] + ".hg38_pos: " + pos[j] + "<br>\\n"
+      + rs[i] + ".hg38_pos: " + pos[i] + "<br><br>\\n"
+      + rs[j] + ".alleles: " + al[j] + "<br>\\n"
+      + rs[i] + ".alleles: " + al[i] + "<br><br>\\n"
+      + rs[j] + ".type: " + ty[j] + "<br>\\n"
+      + rs[i] + ".type: " + ty[i] + "<br><br>\\n"
+      + rs[j] + ".alt_freq: " + fmt(C.freqq[j]) + "<br>\\n"
+      + rs[i] + ".alt_freq: " + fmt(C.freqq[i]) + "\\n";
+    tip.style.display = 'block';
+    tip.style.left = (ev.clientX - r.left + 14) + 'px';
+    tip.style.top = (ev.clientY - r.top + 14) + 'px';
+  } else tip.style.display = 'none';
+});
+canvas.addEventListener('mouseleave', () => tip.style.display = 'none');
+document.getElementById('title').textContent = (FIG.layout.title||{}).text || '';
+const xt = ((FIG.layout.xaxis||{}).title||{}).text || '';
 document.getElementById('footer').innerHTML = xt;
 </script></body></html>
 """
 
 
 def write_html(path: str, figure: dict, disp_letters: bool) -> None:
-    if "columnar" in figure:
-        html = _HTML_TEMPLATE_COLUMNAR.format(
-            figure_json=json.dumps(figure),
+    # token replacement, not str.format: the embedded JS is full of
+    # braces and would otherwise need error-prone {{ }} doubling
+    if "overview" in figure:
+        html = _HTML_TEMPLATE_OVERVIEW.replace(
+            "__FIGURE_JSON__", json.dumps(figure)
+        )
+    elif "columnar" in figure:
+        html = _HTML_TEMPLATE_COLUMNAR.replace(
+            "__FIGURE_JSON__", json.dumps(figure)
         )
     else:
-        html = _HTML_TEMPLATE.format(
-            figure_json=json.dumps(figure),
-            show_numbers="true" if disp_letters else "false",
+        html = _HTML_TEMPLATE.replace(
+            "__FIGURE_JSON__", json.dumps(figure)
+        ).replace(
+            "__SHOW_NUMBERS__", "true" if disp_letters else "false"
         )
     with open(path, "w") as fh:
         fh.write(html)

@@ -556,6 +556,19 @@ def _build_heatmap_columnar(
     ps = phase_stats if phase_stats is not None else {}
     for key in ("finish_s", "encode_s", "figure_s"):
         ps.setdefault(key, 0.0)
+    # very large uniform figures pool to an overview HTML (the full
+    # columnar payload for 10k variants is a ~267 MB page); the -j JSON
+    # keeps full resolution either way
+    overview = (
+        not mixed
+        and n > heatmap_io._OVERVIEW_MIN
+        and os.environ.get("TPU_LD_HEATMAP_FULL") != "1"
+    )
+    pooled = None
+    if overview:
+        _, pool_p = heatmap_io.pool_shape(n)
+        pooled = np.full((pool_p, pool_p), -1, dtype=np.int64)
+        pool_f = heatmap_io.pool_shape(n)[0]
     pending = dispatch(0, min(row_block, n))
     for bi, r0 in enumerate(starts):
         r1 = min(r0 + row_block, n)
@@ -572,6 +585,10 @@ def _build_heatmap_columnar(
         dp_parts.append(heatmap_io.encode_q_rows(
             dpr, dpiz, r0, r1, qdtype=qdtype,
         ))
+        if overview:
+            cm = r2r if cfg.ld_measure == "r_square" else dpr
+            cz = r2iz if cfg.ld_measure == "r_square" else dpiz
+            heatmap_io.pool_rows_composite(pooled, cm, cz, r0, r1, pool_f)
         ps["encode_s"] += _time.perf_counter() - _t0
         if mixed:
             if no_iz is None or no_iz.shape[0] < r1 - r0:
@@ -598,29 +615,52 @@ chromosome: {chrom} ░
 genders: {", ".join(self.data.gend_names)} ░
 populations: {", ".join(self.data.pop_names)}
 """
-    figure = heatmap_io.build_figure_columnar(
-        n=n,
-        rs_ids=rs_ids_srtd,
-        positions=poss_srtd,
-        alleles=[a[0] for a in ann],
-        types=[a[1] for a in ann],
-        measure=cfg.ld_measure,
-        thres=cfg.ld_low_thres,
-        r2_q=b"".join(r2_parts),
-        dp_q=b"".join(dp_parts),
-        color_pal=cfg.color_pal,
-        title_text=title,
-        footer_text=None if cfg.dont_disp_footer else FOOTER_TEXT,
-        square_shape=cfg.square_shape,
-        freq_q=freq_q,
-        freq1_q=b"".join(f1_parts) if mixed else None,
-        freq2_q=b"".join(f2_parts) if mixed else None,
-        qdtype=qdtype,
-    )
+    r2_all = b"".join(r2_parts)
+    dp_all = b"".join(dp_parts)
     trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
-    if cfg.heatmap_json:
-        heatmap_io.write_json(
-            os.path.join(trg_dir_path, trg_file_base + ".json"), figure
+    if cfg.heatmap_json or not overview:
+        # the full-resolution columnar figure: the HTML payload below
+        # _OVERVIEW_MIN variants, and always the -j JSON debug dump
+        figure = heatmap_io.build_figure_columnar(
+            n=n,
+            rs_ids=rs_ids_srtd,
+            positions=poss_srtd,
+            alleles=[a[0] for a in ann],
+            types=[a[1] for a in ann],
+            measure=cfg.ld_measure,
+            thres=cfg.ld_low_thres,
+            r2_q=r2_all,
+            dp_q=dp_all,
+            color_pal=cfg.color_pal,
+            title_text=title,
+            footer_text=None if cfg.dont_disp_footer else FOOTER_TEXT,
+            square_shape=cfg.square_shape,
+            freq_q=freq_q,
+            freq1_q=b"".join(f1_parts) if mixed else None,
+            freq2_q=b"".join(f2_parts) if mixed else None,
+            qdtype=qdtype,
+        )
+        if cfg.heatmap_json:
+            heatmap_io.write_json(
+                os.path.join(trg_dir_path, trg_file_base + ".json"), figure
+            )
+    if overview:
+        figure = heatmap_io.build_figure_overview(
+            n=n,
+            rs_ids=rs_ids_srtd,
+            positions=poss_srtd,
+            alleles=[a[0] for a in ann],
+            types=[a[1] for a in ann],
+            measure=cfg.ld_measure,
+            thres=cfg.ld_low_thres,
+            pooled=pooled,
+            r2_q=r2_all,
+            dp_q=dp_all,
+            color_pal=cfg.color_pal,
+            title_text=title,
+            footer_text=None if cfg.dont_disp_footer else FOOTER_TEXT,
+            square_shape=cfg.square_shape,
+            freq_q=freq_q,
         )
     heatmap_io.write_html(
         os.path.join(trg_dir_path, trg_file_base + ".html"),
