@@ -194,6 +194,9 @@ def config4():
                 G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
                 measure="r_square", thres=0.8, use_pallas=use_pallas,
                 exact=exact,
+                # resident cache, like the ld_scan tool: warm scans (and
+                # the exact rerun of the same matrix) skip the upload
+                resident_key=("bench4", V, H),
             )
             dt = time.time() - t0
             gpps = pairs / dt / 1e9
@@ -361,6 +364,7 @@ def config4c():
             G_packed=gp, n_haplotypes=H, pos=pos,
             measure="r_square", thres=0.8, use_pallas=use_pallas,
             exact=True,
+            resident_key=("bench4c", V, H),
         )
         dt = time.time() - t0
         label = "4c_chr2_scan_200k" + ("_warm" if warm else "")
