@@ -124,6 +124,45 @@ def main():
         os.path.join(gallery, "ld_triangle_columnar_560_chr9_r.html"), "w"
     ) as d:
         d.write(s.read())
+
+    # pooled OVERVIEW heatmap (>4096 variants in production; pool
+    # thresholds shrunk here so the gallery sample stays ~1 MB while
+    # exercising the real pooling + representative-pair path)
+    from ld_tools_tpu.io import heatmap as heatmap_io
+
+    ov_min, ov_p = heatmap_io._OVERVIEW_MIN, heatmap_io._OVERVIEW_P
+    heatmap_io._OVERVIEW_MIN, heatmap_io._OVERVIEW_P = 500, 150
+    try:
+        ovdir = os.path.join(work, "ovdata")
+        os.makedirs(ovdir)
+        synth.write_panel(os.path.join(ovdir, "samples.txt"), panel)
+        Gv = synth.correlated_haplotypes(rng, 1200, 80)
+        rs_v = synth.write_vcf(
+            os.path.join(ovdir, "7.vcf.gz"), "7", names, Gv,
+            rsids=[f"rs88{i:04d}" for i in range(1200)],
+        )
+        prep_intgen_data(ovdir)
+        vsrc = os.path.join(work, "ovsrc")
+        os.makedirs(vsrc)
+        with open(os.path.join(vsrc, "ov.txt"), "w") as fh:
+            fh.write("\n".join(rs_v) + "\n")
+        triangle.run(types.SimpleNamespace(
+            src_dir_path=vsrc, trg_top_dir_path=work, meta_lines_quan=0,
+            ld_measure="r_square", ld_low_thres=None,
+            matrix_type="heatmap", heatmap_json=False, disp_letters=False,
+            color_pal="ylgnbu", font_size=None, square_shape=True,
+            dont_disp_footer=False, max_proc_quan=1,
+            intgen_dir_path=ovdir, skip_intgen_data_ver=True,
+            gend_names="both", pop_names="all",
+        ))
+        ov_html = os.path.join(work, "ov_LD_matr", "ov_chr7_r.html")
+        with open(ov_html) as s, open(
+            os.path.join(gallery, "ld_triangle_overview_1200_chr7_r.html"),
+            "w",
+        ) as d:
+            d.write(s.read())
+    finally:
+        heatmap_io._OVERVIEW_MIN, heatmap_io._OVERVIEW_P = ov_min, ov_p
     print(f"gallery refreshed in {gallery}")
 
 

@@ -328,7 +328,7 @@ def main():
             want = np.array([
                 keep[bi_l[k] * cb:(bi_l[k] + 1) * cb,
                      bj_l[k] * cb:(bj_l[k] + 1) * cb].sum()
-                for k in range(len(slot_l))
+                for k in range(len(bi_l))
             ])
             ok = np.array_equal(counts, want)
             err = float(np.abs(counts - want).max())
