@@ -539,3 +539,33 @@ def test_scan_cap_overflow_unsplittable_raises(rng):
             G, measure="r_square", thres=0.0, band=16, chunk=16,
             cap_per_tile=0, use_pallas=False, exact=True,
         )
+
+
+def test_scan_resident_cache_with_mesh(rng):
+    """The resident cache composes with a sharded tile mesh (replicated
+    device arrays cached per mesh identity) and never leaks entries
+    across different meshes."""
+    from ld_tools_tpu.ops import ld_stream as mod
+    from ld_tools_tpu.ops.ld_stream import scan_mesh
+
+    mod.clear_resident_cache()
+    G = random_haplotypes(rng, 50, 64, maf_low=0.05, maf_high=0.95)
+    kw = dict(measure="r_square", thres=0.3, band=16, chunk=16,
+              use_pallas=False, exact=True)
+    ref = stream_threshold_scan(G, **kw)
+    mesh = scan_mesh(4)
+    a = stream_threshold_scan(G, mesh=mesh, resident_key=("m",), **kw)
+    assert a.stats["resident_hit"] == 0.0
+    b = stream_threshold_scan(G, mesh=mesh, resident_key=("m",), **kw)
+    assert b.stats["resident_hit"] == 1.0
+    for got in (a, b):
+        np.testing.assert_array_equal(got.i, ref.i)
+        np.testing.assert_array_equal(got.j, ref.j)
+        np.testing.assert_array_equal(got.r_square, ref.r_square)
+    # a different mesh (different device set) must not reuse the entry
+    c = stream_threshold_scan(
+        G, mesh=scan_mesh(2), resident_key=("m",), **kw
+    )
+    assert c.stats["resident_hit"] == 0.0
+    np.testing.assert_array_equal(c.i, ref.i)
+    mod.clear_resident_cache()
