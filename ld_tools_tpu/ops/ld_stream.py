@@ -435,7 +435,7 @@ def _fetch_compact_body(
 def _block_count_phase(
     part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev, n_haplotypes,
     margin_thres, max_dist, *, band, chunk, count_block, packed,
-    exact_mask, sel, use_dist, interpret, mesh=None,
+    exact_mask, sel, use_dist, interpret, mesh=None, sync=True,
 ):
     """Pass 1 via the fused Pallas count kernel (ld_pallas.ld_band_count).
 
@@ -449,7 +449,11 @@ def _block_count_phase(
     path (_count_tiles_body): both derive keep from exact_keep_mask over
     the same integer counts and global coordinates.
 
-    Returns (block_coords [(row0, col0) global], block_counts np.int64).
+    Returns (block_coords [(row0, col0) global], block_counts np.int64),
+    or with ``sync=False`` (block_coords, finalize() -> counts): the
+    device calls are already dispatched, only the host-side conversion
+    waits — so a caller can enqueue EVERY batch's count pass before
+    synchronizing on any (the device queue stays full across batches).
     """
     nbm = band // count_block
     nbn = chunk // count_block
@@ -505,12 +509,14 @@ def _block_count_phase(
                 g_dev, c1_dev, ipq_dev, pos_dev,
                 jnp.asarray(cij), params_i, params_f, **static,
             )))
-        pieces = [np.asarray(out)[:n_sub] for n_sub, out in dev_outs]
-        counts = (
-            np.concatenate(pieces).astype(np.int64)
-            if pieces
-            else np.zeros((0,), dtype=np.int64)
-        )
+
+        def finalize():
+            pieces = [np.asarray(out)[:n_sub] for n_sub, out in dev_outs]
+            return (
+                np.concatenate(pieces).astype(np.int64)
+                if pieces
+                else np.zeros((0,), dtype=np.int64)
+            )
     else:
         # mesh: contiguous per-device block slices, counts concatenated
         # back into global block order; the SMEM cap applies PER DEVICE
@@ -532,20 +538,26 @@ def _block_count_phase(
                 g_dev, c1_dev, ipq_dev, pos_dev,
                 jnp.asarray(cij), params_i, params_f,
             )))
-        pieces = []
-        for n_sub, loc, out in dev_outs:
-            out = np.asarray(out)
-            for sh in range(n_sh):
-                real = min(loc, max(0, n_sub - sh * loc))
-                pieces.append(out[sh * loc: sh * loc + real])
-        counts = np.concatenate(pieces).astype(np.int64) if pieces else (
-            np.zeros((0,), dtype=np.int64)
-        )
+
+        def finalize():
+            pieces = []
+            for n_sub, loc, out in dev_outs:
+                out = np.asarray(out)
+                for sh in range(n_sh):
+                    real = min(loc, max(0, n_sub - sh * loc))
+                    pieces.append(out[sh * loc: sh * loc + real])
+            return (
+                np.concatenate(pieces).astype(np.int64)
+                if pieces
+                else np.zeros((0,), dtype=np.int64)
+            )
     coords = [
         (bi_l[k] * count_block, bj_l[k] * count_block)
         for k in range(n_real)
     ]
-    return coords, counts
+    if not sync:
+        return coords, finalize
+    return coords, finalize()
 
 
 _count_tiles_batch = functools.partial(
@@ -1121,95 +1133,106 @@ def stream_threshold_scan(
 
     hits = {name: [] for name in ("i", "j") + want}
     batch = max_tiles_per_call
+    common = dict(
+        band=band, chunk=chunk, use_pallas=use_pallas,
+        interpret=interpret, sel=sel, use_dist=use_dist,
+        packed=packed,
+        exact_mask=int(n_haplotypes) <= _EXACT_MASK_MAX_HAP,
+    )
+    scalars = (
+        jnp.int32(n_haplotypes), jnp.float32(margin_thres),
+        jnp.int32(max_dist if use_dist else 0),
+    )
+    # the fused Pallas count kernel needs the band/chunk tiling to
+    # decompose into count_block x count_block kernel blocks (true at
+    # the 3840/7680/640 defaults; tiny inputs clamp band/chunk below
+    # a block and fall back to the XLA tile path)
+    use_block_count = (
+        use_pallas
+        and band % count_block == 0
+        and chunk % count_block == 0
+    )
+    if use_block_count:
+        fetch_chunk = count_block
+        common_f = dict(common, band=count_block, chunk=count_block)
+    else:
+        fetch_chunk, common_f = chunk, common
+    count_fn = fetch_factory = fetch_compact_factory = None
+    if n_shards > 1:
+        count_fn, _, _ = _sharded_tile_fns(mesh, **common)
+        _, fetch_factory, fetch_compact_factory = _sharded_tile_fns(
+            mesh, **common_f
+        )
+
+    # Launch pass: enqueue EVERY batch's count programs before
+    # synchronizing on any — jax dispatch is async, so the device queue
+    # stays full across batches and the per-batch host<->device
+    # round-trip gaps (the r4 "dispatch tax") collapse.  Only the fetch
+    # passes below synchronize, in batch order.
+    pending = []
     for s in range(0, len(tiles), batch):
+        bidx = s // batch
         if ckpt is not None:
             import os
 
-            path = ckpt(s // batch)
+            path = ckpt(bidx)
             if os.path.exists(path):
-                saved = np.load(path)
-                if saved["i"].size:
-                    for name in hits:
-                        hits[name].append(saved[name])
-                log.info("resumed batch %d from %s", s // batch, path)
+                pending.append(("ckpt", path, bidx))
                 continue
         part = tiles[s : s + batch]
-        # pad the coordinate list to n_shards x power-of-two so differently
-        # sized chromosomes reuse a handful of compiled programs and the
-        # tile axis divides evenly over the mesh
+        # pad the coordinate list to n_shards x power-of-two so
+        # differently sized chromosomes reuse a handful of compiled
+        # programs and the tile axis divides evenly over the mesh
         n_valid = len(part)
         target_len = n_shards
         while target_len < n_valid:
             target_len *= 2
         part = part + [(0, 0)] * (target_len - n_valid)
-
-        def tile_coord_arrays():
-            # only the XLA tile-count paths consume these; the fused
-            # block-count path builds its own block lists
-            return (
-                jnp.asarray([t[0] for t in part], dtype=jnp.int32),
-                jnp.asarray([t[1] for t in part], dtype=jnp.int32),
-                jnp.asarray(
-                    [k < n_valid for k in range(len(part))], dtype=bool
-                ),
-            )
-
-        common = dict(
-            band=band, chunk=chunk, use_pallas=use_pallas,
-            interpret=interpret, sel=sel, use_dist=use_dist,
-            packed=packed,
-            exact_mask=int(n_haplotypes) <= _EXACT_MASK_MAX_HAP,
-        )
-        scalars = (
-            jnp.int32(n_haplotypes), jnp.float32(margin_thres),
-            jnp.int32(max_dist if use_dist else 0),
-        )
         _t0 = _time.perf_counter()
-        # the fused Pallas count kernel needs the band/chunk tiling to
-        # decompose into count_block x count_block kernel blocks (true at
-        # the 3840/7680/640 defaults; tiny inputs clamp band/chunk below
-        # a block and fall back to the XLA tile path)
-        use_block_count = (
-            use_pallas
-            and band % count_block == 0
-            and chunk % count_block == 0
-        )
         if use_block_count:
             # per-BLOCK counts: the fetch below touches only hit BLOCKS
-            # (count_block square), a far smaller compaction/matmul area
-            # than hit tiles when hits cluster near the diagonal
-            fetch_part, fetch_counts = _block_count_phase(
+            # (count_block square), a far smaller compaction/matmul
+            # area than hit tiles when hits cluster near the diagonal
+            fetch_part, count_fin = _block_count_phase(
                 part, n_valid, v, pos, g_dev, c1_dev, ipq_dev, pos_dev,
                 n_haplotypes, margin_thres, max_dist,
                 band=band, chunk=chunk, count_block=count_block,
                 packed=packed, exact_mask=common["exact_mask"], sel=sel,
                 use_dist=use_dist, interpret=interpret,
-                mesh=mesh if n_shards > 1 else None,
+                mesh=mesh if n_shards > 1 else None, sync=False,
             )
-            fetch_chunk = count_block
-            common_f = dict(common, band=count_block, chunk=count_block)
-            if n_shards > 1:
-                _, fetch_factory, fetch_compact_factory = (
-                    _sharded_tile_fns(mesh, **common_f)
-                )
-        elif n_shards > 1:
-            count_fn, fetch_factory, fetch_compact_factory = (
-                _sharded_tile_fns(mesh, **common)
-            )
-            r0s, c0s, valid = tile_coord_arrays()
-            counts = np.asarray(count_fn(
-                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars
-            ))
-            fetch_part, fetch_counts = part, counts
-            fetch_chunk, common_f = chunk, common
         else:
-            r0s, c0s, valid = tile_coord_arrays()
-            counts = np.asarray(_count_tiles_batch(
-                g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid, *scalars,
-                **common
-            ))
-            fetch_part, fetch_counts = part, counts
-            fetch_chunk, common_f = chunk, common
+            r0s = jnp.asarray([t[0] for t in part], dtype=jnp.int32)
+            c0s = jnp.asarray([t[1] for t in part], dtype=jnp.int32)
+            valid = jnp.asarray(
+                [k < n_valid for k in range(len(part))], dtype=bool
+            )
+            if n_shards > 1:
+                out = count_fn(
+                    g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid,
+                    *scalars
+                )
+            else:
+                out = _count_tiles_batch(
+                    g_dev, c1_dev, ipq_dev, pos_dev, r0s, c0s, valid,
+                    *scalars, **common
+                )
+            fetch_part = part
+            count_fin = (lambda o: (lambda: np.asarray(o)))(out)
+        stats["count_s"] += _time.perf_counter() - _t0
+        pending.append(("live", (part, fetch_part, count_fin), bidx))
+
+    for kind, payload, bidx in pending:
+        if kind == "ckpt":
+            saved = np.load(payload)
+            if saved["i"].size:
+                for name in hits:
+                    hits[name].append(saved[name])
+            log.info("resumed batch %d from %s", bidx, payload)
+            continue
+        part, fetch_part, count_fin = payload
+        _t0 = _time.perf_counter()
+        fetch_counts = count_fin()
         stats["count_s"] += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         batch_hits = {name: [] for name in hits}
@@ -1311,7 +1334,7 @@ def stream_threshold_scan(
         if ckpt is not None:
             import os
 
-            path = ckpt(s // batch)
+            path = ckpt(bidx)
             tmp = path + ".tmp"
             with open(tmp, "wb") as fh:
                 np.savez(fh, **cat)

@@ -214,17 +214,19 @@ kw = dict(measure="r_square", thres=0.4, band=16, chunk=16,
           checkpoint_dir=os.environ["CKPT_DIR"])
 
 if os.environ["MODE"] == "die":
-    # hard-kill each process mid-scan at a DIFFERENT batch boundary:
+    # hard-kill each process mid-scan at a DIFFERENT batch boundary
+    # (counted in CHECKPOINT WRITES — counts all dispatch async up
+    # front now, so batch progress is marked by the checkpoint files):
     # partial per-process checkpoints survive on disk
     limit = 2 if jax.process_index() == 0 else 4
-    orig = mod._count_tiles_batch
+    orig_savez = np.savez
     state = {"n": 0}
     def wrapper(*a, **k):
-        state["n"] += 1
-        if state["n"] > limit:
+        if state["n"] >= limit:
             os._exit(3)
-        return orig(*a, **k)
-    mod._count_tiles_batch = wrapper
+        state["n"] += 1
+        return orig_savez(*a, **k)
+    np.savez = wrapper
 
 coop = stream_threshold_scan(G, pos=pos, multiprocess=True, **kw)
 solo = stream_threshold_scan(
