@@ -564,8 +564,10 @@ canvas.addEventListener('mousemove', ev => {
   const px = cell * view.s;
   const x = ev.clientX - r.left - margin, y = ev.clientY - r.top;
   const j = Math.floor(view.ox + x / px), i = Math.floor(view.oy + y / px);
-  if (x >= 0 && y <= n * px && i >= 0 && i < n && j >= 0 && j < n
-      && info[i][j]) {
+  // bound by the DRAWN plot rect, not the zoomed logical extent — the
+  // label margins must never hover a cell
+  if (x >= 0 && x < size && y >= 0 && y < size
+      && i >= 0 && i < n && j >= 0 && j < n && info[i][j]) {
     tip.innerHTML = info[i][j];
     tip.style.display = 'block';
     tip.style.left = (ev.clientX - r.left + 14) + 'px';

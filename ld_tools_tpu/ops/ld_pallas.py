@@ -1104,12 +1104,16 @@ ld_band_count = functools.partial(
 def pack_block_coords(bi, bj) -> np.ndarray:
     """bi * 2^16 + bj as int32 for ld_band_count's prefetch array.
 
-    Block indices are bounded by v_pad / count_block; 2^16 blocks of 640
-    rows is a 42M-variant chromosome — far past any real genome."""
+    Block indices are bounded by v_pad / count_block; the int32 sign
+    bit caps bi at 2^15 (bj still gets 16 bits), i.e. 2^15 blocks of
+    640 rows = a 21M-variant chromosome — far past any real genome."""
     bi = np.asarray(bi, dtype=np.int64)
     bj = np.asarray(bj, dtype=np.int64)
-    if bi.size and (bi.max() >= 65536 or bj.max() >= 65536):
-        raise ValueError("block coordinates exceed the 16-bit pack range")
+    if bi.size and (bi.max() >= 32768 or bj.max() >= 65536):
+        raise ValueError(
+            "block coordinates exceed the packed int32 range "
+            "(bi < 2^15, bj < 2^16)"
+        )
     return (bi * 65536 + bj).astype(np.int32)
 
 
@@ -1147,6 +1151,7 @@ def probe_count_block_cap(write_cache: bool = True) -> int:
     pos = jnp.zeros((640,), dtype=jnp.int32)
     pi = jnp.asarray([128, 0], dtype=jnp.int32)
     pf = jnp.asarray([0.3], dtype=jnp.float32)
+    compiled_ok = False
     while cap >= 1024:
         try:
             cij = jnp.zeros((cap,), dtype=jnp.int32)
@@ -1154,9 +1159,19 @@ def probe_count_block_cap(write_cache: bool = True) -> int:
                 g, c1, c1, pos, cij, pi, pf, packed=False, sel=0,
                 exact_mask=True, use_dist=False, block_m=640, block_n=640,
             ).compile()
+            compiled_ok = True
             break
         except Exception:
             cap //= 2
+    if not compiled_ok:
+        # nothing compiled at ANY size — a transient backend failure,
+        # not an SMEM boundary; never poison the persistent cache with
+        # an unvalidated tiny cap (every later scan would pay ~100x
+        # more dispatches until someone deleted the cache file)
+        raise RuntimeError(
+            "count-cap probe could not compile at any size; "
+            "cache left unchanged"
+        )
     if write_cache:
         path = _vmem_cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)

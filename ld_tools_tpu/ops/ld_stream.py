@@ -139,6 +139,32 @@ def _count_block_cap() -> int:
     return cached_count_block_cap()
 
 
+def _pad_blocks(n: int) -> int:
+    """Smallest admissible padded count-call size >= n: powers of two up
+    to 8192, multiples of 8192 past that.  Bounds the number of
+    DISTINCT compiled call shapes (~13 + 12 at the default cap) without
+    ever rounding past the chunk step."""
+    if n <= 8192:
+        t = 1
+        while t < n:
+            t *= 2
+        return t
+    return -(-n // 8192) * 8192
+
+
+def _chunk_step(cap: int) -> int:
+    """Largest admissible padded size <= cap — the chunk stride, so the
+    PADDED call can never exceed the probed SMEM cap (r5 review: pow2
+    padding of a cap-sized chunk used to round past the boundary the
+    probe validated)."""
+    if cap >= 8192:
+        return (cap // 8192) * 8192
+    t = 1
+    while t * 2 <= max(cap, 1):
+        t *= 2
+    return t
+
+
 # Device-resident scan inputs cached across stream_threshold_scan calls
 # (VERDICT r4 next #1): scanning the same chromosome twice used to pay
 # the padded-G upload twice — through the relay that was 3.3 s of a
@@ -490,19 +516,19 @@ def _block_count_phase(
     from ld_tools_tpu.ops.ld_pallas import pack_block_coords
 
     cij_all = pack_block_coords(bi_l, bj_l)
-    # SMEM cap: see _MAX_COUNT_BLOCKS_PER_CALL / probe_count_block_cap
-    max_blocks = _count_block_cap()
+    # SMEM cap: see _MAX_COUNT_BLOCKS_PER_CALL / probe_count_block_cap.
+    # Chunk by the largest ADMISSIBLE padded size <= cap so padding can
+    # never round a chunk past the probed boundary.
+    step = _chunk_step(_count_block_cap())
     if mesh is None:
         # dispatch every chunk before synchronizing on any: through an
         # RPC-relayed device the ~0.5 s dispatch latencies overlap
         # instead of serializing (VERDICT r4 weak #1)
         dev_outs = []
-        for lo in range(0, max(n_real, 1), max_blocks):
-            hi = min(lo + max_blocks, n_real)
+        for lo in range(0, max(n_real, 1), step):
+            hi = min(lo + step, n_real)
             n_sub = max(hi - lo, 0)
-            target = 1
-            while target < max(n_sub, 1):
-                target *= 2
+            target = _pad_blocks(max(n_sub, 1))
             cij = np.zeros((target,), dtype=np.int32)
             cij[:n_sub] = cij_all[lo:hi]
             dev_outs.append((n_sub, ld_band_count(
@@ -524,12 +550,12 @@ def _block_count_phase(
 
         n_sh = int(mesh.size)
         dev_outs = []
-        for call_lo in range(0, max(n_real, 1), max_blocks * n_sh):
-            call_hi = min(call_lo + max_blocks * n_sh, n_real)
+        for call_lo in range(0, max(n_real, 1), step * n_sh):
+            call_hi = min(call_lo + step * n_sh, n_real)
             n_sub = max(call_hi - call_lo, 0)
-            loc = 1
-            while n_sh * loc < max(n_sub, 1):
-                loc *= 2
+            # per-device slice size, admissible and <= step (the cap
+            # applies PER DEVICE)
+            loc = _pad_blocks(max(-(-n_sub // n_sh), 1))
             total = n_sh * loc
             cij = np.zeros((total,), dtype=np.int32)
             cij[:n_sub] = cij_all[call_lo:call_hi]

@@ -566,9 +566,8 @@ def _build_heatmap_columnar(
     )
     pooled = None
     if overview:
-        _, pool_p = heatmap_io.pool_shape(n)
+        pool_f, pool_p = heatmap_io.pool_shape(n)
         pooled = np.full((pool_p, pool_p), -1, dtype=np.int64)
-        pool_f = heatmap_io.pool_shape(n)[0]
     pending = dispatch(0, min(row_block, n))
     for bi, r0 in enumerate(starts):
         r1 = min(r0 + row_block, n)

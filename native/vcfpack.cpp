@@ -465,24 +465,32 @@ class DedupEmitter {
  public:
   explicit DedupEmitter(VpResult* r) : r_(r) {}
 
-  void push(const RecView& v) {
+  // Returns true iff the view became the new pending record (a caller
+  // double-buffering parse storage must NOT recycle the buffer the
+  // pending view aliases; a duplicate push leaves pending unchanged,
+  // so ITS buffer stays hot and the pushed one is free again).
+  bool push(const RecView& v) {
     if (valid_ && pending_.pos == v.pos &&
         pending_.chrom_len == v.chrom_len &&
         memcmp(pending_.chrom, v.chrom, v.chrom_len) == 0 &&
         pending_.rsid_len == v.rsid_len &&
         memcmp(pending_.rsid, v.rsid, v.rsid_len) == 0) {
       pending_dup_ = true;
-      return;
+      return false;
     }
     if (valid_ && !pending_dup_) emit();
     pending_ = v;
+    owns_pending_ = false;
     valid_ = true;
     pending_dup_ = false;
+    return true;
   }
 
   // Deep-copy the pending view into owned buffers (and repoint at them).
+  // Idempotent: a second call without an intervening push would
+  // self-assign owned_'s buffers from their own data (UB).
   void own_pending() {
-    if (!valid_) return;
+    if (!valid_ || owns_pending_) return;
     owned_.chrom.assign(pending_.chrom, pending_.chrom_len);
     owned_.rsid.assign(pending_.rsid, pending_.rsid_len);
     owned_.ref.assign(pending_.ref, pending_.ref_len);
@@ -497,6 +505,7 @@ class DedupEmitter {
       owned_.ploidy.clear();
     }
     pending_ = view_of(owned_);
+    owns_pending_ = true;
   }
 
   void finish() {
@@ -548,6 +557,7 @@ class DedupEmitter {
   std::map<std::vector<uint8_t>, int16_t> profile_ids_;
   bool valid_ = false;
   bool pending_dup_ = false;
+  bool owns_pending_ = false;
 };
 
 // Parse the #CHROM header line: fill samples / n_haplotypes / row_bytes.
@@ -666,8 +676,7 @@ void scan_single_threaded(const char* path, VpResult* r) {
     switch (parse_data_line(line, len, r->n_haplotypes, r->row_bytes,
                             &recs[cur], &r->error)) {
       case LineVerdict::kKept:
-        emitter.push(view_of(recs[cur]));
-        cur ^= 1;
+        if (emitter.push(view_of(recs[cur]))) cur ^= 1;
         break;
       case LineVerdict::kSkipped:
         break;

@@ -440,8 +440,14 @@ def config0gb():
         v = fix_meta["v"]
         text_bytes = fix_meta["text_bytes"]
     else:
-        d = tempfile.mkdtemp(prefix="tpu_ld_gb_")
-        path = os.path.join(d, "1.vcf.gz")
+        if reuse:
+            # first run with the env var set: generate INTO the named
+            # path so the next invocation actually reuses it
+            os.makedirs(os.path.dirname(reuse) or ".", exist_ok=True)
+            path = reuse
+        else:
+            d = tempfile.mkdtemp(prefix="tpu_ld_gb_")
+            path = os.path.join(d, "1.vcf.gz")
         t0 = time.time()
         v, text_bytes = _write_gb_fixture(
             path, "1", n_samples, 1 << 30, np.random.default_rng(0)

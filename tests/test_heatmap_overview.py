@@ -12,6 +12,7 @@ zoom/pan handlers ship in every template.
 
 import base64
 import json
+import os
 import re
 
 import numpy as np

@@ -373,3 +373,33 @@ def test_native_mixed_ploidy_fuzz_bgzf_seams(tmp_path, built):
                 assert (prof == 2).all()
             else:
                 np.testing.assert_array_equal(prof, rec.ploidy)
+
+
+def test_record_after_duplicate_run_is_kept(tmp_path, built):
+    """Regression (r5 review): the single-threaded scanner's parse
+    double-buffer must not recycle the buffer the pending view aliases
+    after a duplicate-triple run — the first DISTINCT record following
+    the run was silently dropped."""
+    rng = np.random.default_rng(3)
+    G = synth.correlated_haplotypes(rng, 6, 12)
+    panel = synth.make_panel(6, rng)
+    names = [r[0] for r in panel]
+    # rs5001/rs5001 at pos 5000 is a dup run (dropped entirely);
+    # rs5002 at the SAME pos must survive, as must rs5003 after it
+    extra = [
+        (5000, synth.raw_record("4", 5000, "rs5001", G[0])),
+        (5000, synth.raw_record("4", 5000, "rs5001", G[0])),
+        (5000, synth.raw_record("4", 5000, "rs5002", G[1])),
+        (5001, synth.raw_record("4", 5001, "rs5003", G[2])),
+    ]
+    for bgzf, n_threads in ((False, 1), (True, 2)):
+        path = str(tmp_path / f"4_{int(bgzf)}.vcf.gz")
+        synth.write_vcf(path, "4", names, G, extra_records=extra,
+                        bgzf=bgzf, bgzf_block=256 if bgzf else None)
+        _, _, rsid, *_ = native.scan(path, n_threads=n_threads)
+        assert "rs5001" not in rsid
+        assert "rs5002" in rsid, (bgzf, n_threads)
+        assert "rs5003" in rsid, (bgzf, n_threads)
+        # python parser agreement
+        py_rsids = [r.rsid for r in iter_records(path)]
+        assert sorted(r for r in rsid) == sorted(py_rsids)

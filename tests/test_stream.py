@@ -569,3 +569,17 @@ def test_scan_resident_cache_with_mesh(rng):
     assert c.stats["resident_hit"] == 0.0
     np.testing.assert_array_equal(c.i, ref.i)
     mod.clear_resident_cache()
+
+
+def test_count_chunk_padding_never_exceeds_cap():
+    """r5 review: the PADDED fused-count call size must never round past
+    the probed SMEM cap (the probe validates exactly that boundary)."""
+    from ld_tools_tpu.ops.ld_stream import _chunk_step, _pad_blocks
+
+    for cap in (98304, 49152, 24576, 12288, 6144, 3072, 1024, 7, 1):
+        step = _chunk_step(cap)
+        assert 1 <= step <= cap
+        for n in (1, 2, step // 2 + 1, step - 1, step):
+            if n < 1 or n > step:  # chunks are never longer than step
+                continue
+            assert n <= _pad_blocks(n) <= step, (cap, step, n)
