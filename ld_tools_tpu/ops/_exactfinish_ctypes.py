@@ -104,6 +104,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             dbl_p, u8_p, u8_p, ctypes.c_int32,
         ]
+        lib.ef_finish_block_measures2.restype = None
+        lib.ef_finish_block_measures2.argtypes = [
+            i32_p, dbl_p, dbl_p, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64,
+            dbl_p, u8_p, u8_p, dbl_p, u8_p, u8_p, ctypes.c_int32,
+        ]
         _lib_handle = lib
         return lib
 
@@ -173,6 +179,40 @@ def finish_block_measure(c_ab, c1_rows, c1_cols, n: float, sel: int,
         int(n_threads),
     )
     return rounded, iz.view(bool), risky.view(bool)
+
+
+def finish_block_measures2(c_ab, c1_rows, c1_cols, n: float,
+                           n_threads=None):
+    """(r2_rounded, r2_iz, r2_risky, dp_rounded, dp_iz, dp_risky) —
+    BOTH measures of an int32 count block, 4-dp fast-rounded, in one
+    native pass (the columnar-heatmap path needs both; two
+    single-measure passes repeat the shared per-cell finish)."""
+    lib = _load()
+    c_ab = np.ascontiguousarray(c_ab, dtype=np.int32)
+    c1_rows = np.ascontiguousarray(c1_rows, dtype=np.float64)
+    c1_cols = np.ascontiguousarray(c1_cols, dtype=np.float64)
+    nr, nc = c_ab.shape
+    r2r = np.empty((nr, nc), dtype=np.float64)
+    r2_iz = np.empty((nr, nc), dtype=np.uint8)
+    r2_risky = np.empty((nr, nc), dtype=np.uint8)
+    dpr = np.empty((nr, nc), dtype=np.float64)
+    dp_iz = np.empty((nr, nc), dtype=np.uint8)
+    dp_risky = np.empty((nr, nc), dtype=np.uint8)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.ef_finish_block_measures2(
+        _ptr(c_ab, ctypes.c_int32),
+        _ptr(c1_rows, ctypes.c_double),
+        _ptr(c1_cols, ctypes.c_double),
+        float(n), nr, nc,
+        _ptr(r2r, ctypes.c_double),
+        _ptr(r2_iz, ctypes.c_uint8), _ptr(r2_risky, ctypes.c_uint8),
+        _ptr(dpr, ctypes.c_double),
+        _ptr(dp_iz, ctypes.c_uint8), _ptr(dp_risky, ctypes.c_uint8),
+        int(n_threads),
+    )
+    return (r2r, r2_iz.view(bool), r2_risky.view(bool),
+            dpr, dp_iz.view(bool), dp_risky.view(bool))
 
 
 def round4_fast(x):

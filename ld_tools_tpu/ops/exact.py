@@ -285,6 +285,43 @@ def measure_rounded_block(c_ab, c1, c2, n_haplotypes, measure: str):
     return rounded, iz
 
 
+def measures_rounded_block_both(c_ab, c1, c2, n_haplotypes):
+    """(r2_rounded, r2_iz, dp_rounded, dp_iz) — BOTH measures of a count
+    block, 4-dp rounded, in one native pass (the columnar-heatmap path;
+    two `measure_rounded_block` calls repeat the shared per-cell
+    finish).  Same rounding contract (near-tie cells re-rounded with
+    Python's round); falls back to the single-measure path — bit-
+    identical either way."""
+    c_raw = np.asarray(c_ab)
+    if (
+        c_raw.ndim == 2
+        and c_raw.size >= 4096
+        and np.issubdtype(c_raw.dtype, np.integer)
+        and _native_finish_available()
+    ):
+        c1f = np.asarray(c1, np.float64)
+        c2f = np.asarray(c2, np.float64)
+        (r2r, r2iz, r2_risky, dpr, dpiz, dp_risky) = (
+            _native.finish_block_measures2(
+                c_raw, c1f, c2f, float(n_haplotypes)
+            )
+        )
+        for risky, rounded, sel in ((r2_risky, r2r, 0), (dp_risky, dpr, 1)):
+            if risky.any():
+                ri, rj = np.nonzero(risky)
+                ex = exact_ld_elementwise(
+                    c_raw[ri, rj], c1f[ri], c2f[rj], n_haplotypes,
+                )
+                raw = ex.r_square if sel == 0 else ex.d_prime
+                rounded[ri, rj] = [round(float(v), 4) for v in raw]
+        return r2r, r2iz, dpr, dpiz
+    r2r, r2iz = measure_rounded_block(c_ab, c1, c2, n_haplotypes,
+                                      "r_square")
+    dpr, dpiz = measure_rounded_block(c_ab, c1, c2, n_haplotypes,
+                                      "d_prime")
+    return r2r, r2iz, dpr, dpiz
+
+
 _FMT_TABLE = None
 
 

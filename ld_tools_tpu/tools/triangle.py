@@ -499,7 +499,10 @@ def _build_heatmap_columnar(
         mixed_pair_ld_async,
         pair_counts_async,
     )
-    from ld_tools_tpu.ops.exact import measure_rounded_block, round4
+    from ld_tools_tpu.ops.exact import (
+        measures_rounded_block_both,
+        round4,
+    )
 
     cfg = self.config
     n = len(rs_ids_srtd)
@@ -534,14 +537,11 @@ def _build_heatmap_columnar(
                 return pair_counts_async(G[r0:r1], G[:r1])
 
         def finish(fin):
-            # two one-pass measure-only finishes (rounded in-pass) cost
-            # ~1/4 of the full both-measures finish + round4 passes
+            # one fused native pass emits BOTH measures rounded — half
+            # the per-cell finish work of two single-measure passes
             c_ab, c1r, c1c = fin()
-            r2r, r2iz = measure_rounded_block(
-                c_ab, c1r, c1c, n_hap, "r_square"
-            )
-            dpr, dpiz = measure_rounded_block(
-                c_ab, c1r, c1c, n_hap, "d_prime"
+            r2r, r2iz, dpr, dpiz = measures_rounded_block_both(
+                c_ab, c1r, c1c, n_hap
             )
             return r2r, r2iz, dpr, dpiz, None, None
 

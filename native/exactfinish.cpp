@@ -125,9 +125,76 @@ static void block_rows_measure(const int32_t* c_ab, const double* c1_rows,
     }
 }
 
+// Both measures, rounded, in ONE pass: the columnar-heatmap path needs
+// r^2 AND D' of every cell; two single-measure passes repeat the shared
+// finish_cell work (and stream the count block through memory twice).
+static void block_rows_measures2(const int32_t* c_ab, const double* c1_rows,
+                                 const double* c1_cols, double n, int64_t nc,
+                                 int64_t r0, int64_t r1,
+                                 double* r2r, uint8_t* r2_iz,
+                                 uint8_t* r2_risky, double* dpr,
+                                 uint8_t* dp_iz, uint8_t* dp_risky) {
+    std::vector<double> p2(nc), q2(nc);
+    for (int64_t j = 0; j < nc; ++j) {
+        p2[j] = c1_cols[j] / n;
+        q2[j] = (n - c1_cols[j]) / n;
+    }
+    for (int64_t i = r0; i < r1; ++i) {
+        const double p1 = c1_rows[i] / n;
+        const double q1 = (n - c1_rows[i]) / n;
+        const int32_t* row = c_ab + i * nc;
+        const int64_t off = i * nc;
+        for (int64_t j = 0; j < nc; ++j) {
+            const Cell c = finish_cell(static_cast<double>(row[j]) / n,
+                                       p1, q1, p2[j], q2[j]);
+            const double yr = c.r2 * 1e4;
+            const double mr = std::nearbyint(yr);
+            r2r[off + j] = c.r2_iz ? 0.0 : mr / 1e4;
+            r2_iz[off + j] = c.r2_iz ? 1 : 0;
+            r2_risky[off + j] =
+                (!c.r2_iz && std::fabs(std::fabs(yr - mr) - 0.5) < 1e-6)
+                    ? 1 : 0;
+            const double yd = c.dp * 1e4;
+            const double md = std::nearbyint(yd);
+            dpr[off + j] = c.dp_iz ? 0.0 : md / 1e4;
+            dp_iz[off + j] = c.dp_iz ? 1 : 0;
+            dp_risky[off + j] =
+                (!c.dp_iz && std::fabs(std::fabs(yd - md) - 0.5) < 1e-6)
+                    ? 1 : 0;
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
+
+void ef_finish_block_measures2(const int32_t* c_ab, const double* c1_rows,
+                               const double* c1_cols, double n, int64_t nr,
+                               int64_t nc, double* r2r, uint8_t* r2_iz,
+                               uint8_t* r2_risky, double* dpr,
+                               uint8_t* dp_iz, uint8_t* dp_risky,
+                               int32_t n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    const int64_t want =
+        std::min<int64_t>(n_threads, std::max<int64_t>(nr, 1));
+    if (want <= 1 || nr * nc < (1 << 18)) {
+        block_rows_measures2(c_ab, c1_rows, c1_cols, n, nc, 0, nr, r2r,
+                             r2_iz, r2_risky, dpr, dp_iz, dp_risky);
+        return;
+    }
+    std::vector<std::thread> pool;
+    const int64_t step = (nr + want - 1) / want;
+    for (int64_t t = 0; t < want; ++t) {
+        const int64_t r0 = t * step;
+        const int64_t r1 = std::min(nr, r0 + step);
+        if (r0 >= r1) break;
+        pool.emplace_back(block_rows_measures2, c_ab, c1_rows, c1_cols, n,
+                          nc, r0, r1, r2r, r2_iz, r2_risky, dpr, dp_iz,
+                          dp_risky);
+    }
+    for (auto& th : pool) th.join();
+}
 
 void ef_finish_block_measure(const int32_t* c_ab, const double* c1_rows,
                              const double* c1_cols, double n, int64_t nr,

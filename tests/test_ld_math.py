@@ -291,3 +291,43 @@ def test_measure_rounded_block_fallback_matches_native(rng, monkeypatch):
     fallback = mod.measure_rounded_block(c_ab, c1, c1, h, "r_square")
     np.testing.assert_array_equal(native[0], fallback[0])
     np.testing.assert_array_equal(native[1], fallback[1])
+
+
+def test_measures_rounded_block_both_parity(rng):
+    """The fused both-measures native pass must bit-match two
+    single-measure passes (sentinel-heavy fixture: monomorphic rows +
+    correlated blocks exercise int-0 and tie paths)."""
+    from ld_tools_tpu.ops.exact import (
+        measure_rounded_block,
+        measures_rounded_block_both,
+    )
+
+    v, h = 96, 64
+    G = (rng.random((v, h)) < rng.uniform(0.02, 0.98, (v, 1))).astype(
+        np.int8
+    )
+    G[3] = 0
+    G[7] = 1
+    c_ab = (G.astype(np.int64) @ G.T).astype(np.int32)
+    c1 = G.sum(axis=1).astype(np.float64)
+    r2r, r2iz, dpr, dpiz = measures_rounded_block_both(c_ab, c1, c1, h)
+    for measure, got, got_iz in (("r_square", r2r, r2iz),
+                                 ("d_prime", dpr, dpiz)):
+        want, want_iz = measure_rounded_block(c_ab, c1, c1, h, measure)
+        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got_iz, want_iz)
+
+
+def test_measures_rounded_block_both_fallback(rng, monkeypatch):
+    """numpy fallback path must match the native fused pass."""
+    from ld_tools_tpu.ops import exact as mod
+
+    v, h = 80, 64
+    G = (rng.random((v, h)) < 0.4).astype(np.int8)
+    c_ab = (G.astype(np.int64) @ G.T).astype(np.int32)
+    c1 = G.sum(axis=1).astype(np.float64)
+    native = mod.measures_rounded_block_both(c_ab, c1, c1, h)
+    monkeypatch.setattr(mod, "_native_finish_available", lambda: False)
+    fallback = mod.measures_rounded_block_both(c_ab, c1, c1, h)
+    for a, b in zip(native, fallback):
+        np.testing.assert_array_equal(a, b)
