@@ -1246,7 +1246,7 @@ def stream_threshold_scan(
             fetch_part = part
             count_fin = (lambda o: (lambda: np.asarray(o)))(out)
         stats["count_s"] += _time.perf_counter() - _t0
-        pending.append(("live", (part, fetch_part, count_fin), bidx))
+        pending.append(("live", (fetch_part, count_fin), bidx))
 
     for kind, payload, bidx in pending:
         if kind == "ckpt":
@@ -1256,7 +1256,7 @@ def stream_threshold_scan(
                     hits[name].append(saved[name])
             log.info("resumed batch %d from %s", bidx, payload)
             continue
-        part, fetch_part, count_fin = payload
+        fetch_part, count_fin = payload
         _t0 = _time.perf_counter()
         fetch_counts = count_fin()
         stats["count_s"] += _time.perf_counter() - _t0
