@@ -268,10 +268,21 @@ LineVerdict parse_data_line(const char* line, size_t len,
       ++field;
     }
   }
-  if (field < 9) return LineVerdict::kSkipped;  // malformed / truncated
-  size_t gt_start = start;
-
+  // Parity with ingest/vcf.py's operation order: < 5 fields fails the
+  // fields[:5] unpack (error); a non-rs ID is filtered BEFORE the
+  // INFO/FORMAT accesses (skip); an rs record with < 10 fields then
+  // fails the fields[7]/fields[9] accesses (error).  Silently skipping
+  // short lines would mask truncated input.
+  if (field < 5) {
+    *err = "malformed VCF data line (fewer than 5 fields)";
+    return LineVerdict::kError;
+  }
   if (!is_rs_id(f[2], flen[2])) return LineVerdict::kSkipped;
+  if (field < 9 || start > len) {
+    *err = "truncated record at " + std::string(f[2], flen[2]);
+    return LineVerdict::kError;
+  }
+  size_t gt_start = start;
 
   // INFO: MULTI_ALLELIC flag and VT= value.
   bool multiallelic = false;
@@ -300,6 +311,12 @@ LineVerdict parse_data_line(const char* line, size_t len,
     return LineVerdict::kError;
   }
 
+  if (flen[1] == 0 || flen[1] > 18) {
+    // empty POS fails int() in the contract parser; > 18 digits would
+    // silently wrap int64
+    *err = "bad POS field";
+    return LineVerdict::kError;
+  }
   int64_t pos = 0;
   for (size_t i = 0; i < flen[1]; ++i) {
     char c = f[1][i];
@@ -688,6 +705,13 @@ void scan_single_threaded(const char* path, VpResult* r) {
     r->error = reader.stream_error();
     return;
   }
+  if (!have_header) {
+    // contract parser raises on a file with no #CHROM line at all
+    // (ingest/vcf.py read_sample_names); silent (0, 0) output would
+    // mask a broken input
+    r->error = "no #CHROM header line";
+    return;
+  }
   emitter.finish();
 }
 
@@ -840,7 +864,10 @@ int64_t read_bgzf_member_header(FILE* fp, std::vector<uint8_t>* hdr) {
     }
     i += 4 + slen;
   }
-  if (bsize < 0) return -1;
+  // a member must at least hold its own header plus the 8-byte
+  // CRC32/ISIZE trailer; a smaller BC value is corrupt and would
+  // underflow the callers' size_t arithmetic into massive OOB writes
+  if (bsize < static_cast<int64_t>(12u + xlen + 8u)) return -1;
   hdr->assign(fixed, fixed + sizeof(fixed));
   hdr->insert(hdr->end(), extra.begin(), extra.end());
   return bsize;
@@ -850,6 +877,11 @@ int64_t read_bgzf_member_header(FILE* fp, std::vector<uint8_t>* hdr) {
 bool inflate_member(const uint8_t* member, size_t member_len, uint32_t isize,
                     size_t hdr_len, std::string* out) {
   if (member_len < hdr_len + 8) return false;
+  // BGZF members decompress to <= 65,536 bytes by construction; a
+  // larger ISIZE trailer is corrupt, and honoring it would pre-allocate
+  // attacker-controlled gigabytes (bad_alloc escaping a worker thread
+  // would terminate the process)
+  if (isize > (1u << 16)) return false;
   size_t base = out->size();
   out->resize(base + isize);
   if (isize == 0) return true;
@@ -973,9 +1005,11 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
     }
   }
   if (!have_header) {
-    // Header never completed: empty/els header-only file.
     if (!head_text.empty() && head_text[0] != '#') {
       r->error = "no #CHROM header before data lines";
+    } else {
+      // empty or metadata-only file: the contract parser raises
+      r->error = "no #CHROM header line";
     }
     fclose(fp);
     return;
@@ -1012,6 +1046,11 @@ void scan_bgzf_parallel(const char* path, int n_threads, VpResult* r) {
       memcpy(batch->raw.data() + base, hdr.data(), hdr.size());
       size_t rest = static_cast<size_t>(member_size) - hdr.size();
       if (fread(batch->raw.data() + base + hdr.size(), 1, rest, fp) != rest) {
+        // roll the partial member back out so a pushed batch never has
+        // an offsets entry without a matching isizes entry (the worker
+        // would index isizes[m] out of bounds)
+        batch->raw.resize(base);
+        batch->offsets.pop_back();
         reader_error = "truncated BGZF member";
         break;
       }

@@ -403,3 +403,102 @@ def test_record_after_duplicate_run_is_kept(tmp_path, built):
         # python parser agreement
         py_rsids = [r.rsid for r in iter_records(path)]
         assert sorted(r for r in rsid) == sorted(py_rsids)
+
+
+def _bgzf_members(data: bytes):
+    """Offsets + sizes of BGZF members by walking the BC subfields."""
+    out = []
+    off = 0
+    while off < len(data):
+        assert data[off] == 0x1F and data[off + 1] == 0x8B
+        xlen = int.from_bytes(data[off + 10:off + 12], "little")
+        extra = data[off + 12:off + 12 + xlen]
+        i = 0
+        bsize = None
+        while i + 4 <= len(extra):
+            si1, si2 = extra[i], extra[i + 1]
+            slen = int.from_bytes(extra[i + 2:i + 4], "little")
+            if si1 == ord("B") and si2 == ord("C") and slen == 2:
+                bsize = int.from_bytes(extra[i + 4:i + 6], "little") + 1
+                bc_off = off + 12 + i + 4
+                break
+            i += 4 + slen
+        assert bsize is not None
+        out.append((off, bsize, bc_off))
+        off += bsize
+    return out
+
+
+def test_native_headerless_file_errors(tmp_path, built):
+    """A file with no #CHROM line at all must error (contract parser
+    raises), not return a silent (0, 0) result — both modes."""
+    import gzip
+
+    plain = tmp_path / "h.vcf"
+    plain.write_text("##fileformat=VCFv4.1\n")
+    with pytest.raises(native.NativeScanError, match="CHROM"):
+        native.scan(str(plain), n_threads=1)
+    gz = tmp_path / "h.vcf.gz"
+    gz.write_bytes(gzip.compress(b"##fileformat=VCFv4.1\n"))
+    with pytest.raises(native.NativeScanError, match="CHROM"):
+        native.scan(str(gz), n_threads=2)
+
+
+def test_native_truncated_record_errors(tmp_path, built):
+    """An rs data line cut short of its genotype section must error
+    (the contract parser's fields[9] access raises), not be skipped."""
+    p = tmp_path / "t.vcf"
+    p.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\n"
+        "1\t100\trs1\tA\tG\t.\tPASS\tVT=SNP\tGT\n"  # 9 fields, no GT cell
+    )
+    with pytest.raises(native.NativeScanError, match="truncated|genotype"):
+        native.scan(str(p), n_threads=1)
+
+
+def test_native_bad_pos_errors(tmp_path, built):
+    p = tmp_path / "p.vcf"
+    p.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS0\n"
+        "1\t\trs1\tA\tG\t.\tPASS\tVT=SNP\tGT\t0|1\n"
+    )
+    with pytest.raises(native.NativeScanError, match="POS"):
+        native.scan(str(p), n_threads=1)
+
+
+def test_native_corrupt_bgzf_bc_field(tmp_path, built):
+    """A mid-stream member whose BC size field is below its own header
+    size must error cleanly (it used to underflow size_t and write out
+    of bounds)."""
+    rng = np.random.default_rng(5)
+    G = synth.correlated_haplotypes(rng, 40, 12)
+    panel = synth.make_panel(6, rng)
+    path = str(tmp_path / "c.vcf.gz")
+    synth.write_vcf(path, "7", [r[0] for r in panel], G, bgzf=True,
+                    bgzf_block=256)
+    data = bytearray(open(path, "rb").read())
+    members = _bgzf_members(bytes(data))
+    assert len(members) > 3
+    _, _, bc_off = members[2]
+    data[bc_off:bc_off + 2] = (4).to_bytes(2, "little")  # member_size=5
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(native.NativeScanError):
+        native.scan(path, n_threads=2)
+
+
+def test_native_corrupt_bgzf_isize(tmp_path, built):
+    """A member whose ISIZE trailer claims gigabytes must error instead
+    of pre-allocating attacker-controlled memory."""
+    rng = np.random.default_rng(6)
+    G = synth.correlated_haplotypes(rng, 40, 12)
+    panel = synth.make_panel(6, rng)
+    path = str(tmp_path / "i.vcf.gz")
+    synth.write_vcf(path, "7", [r[0] for r in panel], G, bgzf=True,
+                    bgzf_block=256)
+    data = bytearray(open(path, "rb").read())
+    members = _bgzf_members(bytes(data))
+    off, bsize, _ = members[2]
+    data[off + bsize - 4:off + bsize] = (0xFFFFFFF0).to_bytes(4, "little")
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(native.NativeScanError):
+        native.scan(path, n_threads=2)
