@@ -583,3 +583,44 @@ def test_count_chunk_padding_never_exceeds_cap():
             if n < 1 or n > step:  # chunks are never longer than step
                 continue
             assert n <= _pad_blocks(n) <= step, (cap, step, n)
+
+
+def test_scan_cap_overflow_with_distance_window(rng):
+    """Overflow sub-tiling composes with the max_dist window (sub-tiles
+    skip host-side distance pruning; the traced mask must still apply
+    it)."""
+    G = random_haplotypes(rng, 44, 64, maf_low=0.2, maf_high=0.8)
+    pos = (np.arange(44, dtype=np.int64) + 1) * 250
+    kw = dict(pos=pos, measure="r_square", thres=0.0, max_dist=2000,
+              band=16, chunk=16, exact=True)
+    ref = stream_threshold_scan(G, use_pallas=False, **kw)
+    got = stream_threshold_scan(G, cap_per_tile=24, use_pallas=False, **kw)
+    np.testing.assert_array_equal(got.i, ref.i)
+    np.testing.assert_array_equal(got.j, ref.j)
+    np.testing.assert_array_equal(got.r_square, ref.r_square)
+    assert np.all(np.abs(pos[got.i] - pos[got.j]) <= 2000)
+
+
+def test_scan_resident_cache_capacity_env(rng, monkeypatch):
+    """TPU_LD_RESIDENT_CACHE_ENTRIES sizes the LRU; 0 disables caching."""
+    from ld_tools_tpu.ops import ld_stream as mod
+
+    mod.clear_resident_cache()
+    monkeypatch.setenv("TPU_LD_RESIDENT_CACHE_ENTRIES", "0")
+    G = random_haplotypes(rng, 30, 64, maf_low=0.1, maf_high=0.9)
+    kw = dict(measure="r_square", thres=0.3, band=16, chunk=16,
+              use_pallas=False, exact=True, resident_key=("cap0",))
+    a = stream_threshold_scan(G, **kw)
+    b = stream_threshold_scan(G, **kw)
+    assert a.stats["resident_hit"] == 0.0
+    assert b.stats["resident_hit"] == 0.0
+    monkeypatch.setenv("TPU_LD_RESIDENT_CACHE_ENTRIES", "2")
+    G2 = random_haplotypes(rng, 32, 64, maf_low=0.1, maf_high=0.9)
+    kw.pop("resident_key")
+    c1 = stream_threshold_scan(G, resident_key=("k1",), **kw)
+    c2 = stream_threshold_scan(G2, resident_key=("k2",), **kw)
+    d1 = stream_threshold_scan(G, resident_key=("k1",), **kw)
+    d2 = stream_threshold_scan(G2, resident_key=("k2",), **kw)
+    assert d1.stats["resident_hit"] == 1.0  # both fit at capacity 2
+    assert d2.stats["resident_hit"] == 1.0
+    mod.clear_resident_cache()
