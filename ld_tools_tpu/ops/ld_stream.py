@@ -987,17 +987,56 @@ def stream_threshold_scan(
         v, h = G.shape
         if n_haplotypes is None:
             n_haplotypes = h
+    if measure not in ("r_square", "d_prime"):
+        raise ValueError(
+            f"measure must be 'r_square' or 'd_prime', got {measure!r}"
+        )
+    if v == 0:
+        z = np.zeros((0,))
+        zi = z.astype(np.int64)
+        return ScanHits(i=zi, j=zi, r_square=z, d_prime=z,
+                        r_square_is_int_zero=z.astype(bool),
+                        d_prime_is_int_zero=z.astype(bool), exact=exact,
+                        stats=stats)
     if pos is None:
         pos = np.arange(v, dtype=np.int64)
     pos = np.asarray(pos, dtype=np.int64)
     band = min(band, _round_up(v, 256))
     chunk = min(chunk, _round_up(v, 512))
+    if use_pallas:
+        # the band kernels tile at 640 (or the clamp fallbacks); a
+        # band/chunk the chosen block does not divide would leave tail
+        # rows of every output tile UNWRITTEN (grid floor-division) —
+        # garbage counts, no error.  The defaults/clamps always satisfy
+        # this; custom sizes must too.
+        bm = 640 if band % 640 == 0 else min(256, band)
+        bn = 640 if chunk % 640 == 0 else min(512, chunk)
+        if band % bm or chunk % bn:
+            raise ValueError(
+                f"use_pallas requires band/chunk divisible by the "
+                f"kernel block ({bm}/{bn}); got band={band} chunk={chunk}"
+            )
     h_pad = _round_up(-(-h // 8) if packed else h, 128)
     # pad V so every dynamic slice stays in bounds
     v_pad = _round_up(v, max(band, chunk)) + max(band, chunk)
     sel = 0 if measure == "r_square" else 1
     margin_thres = float(thres) - 5e-4
     use_dist = max_dist is not None
+    if use_dist:
+        # the host-side tile/block pruning assumes ascending positions
+        # (closest pair of a below-diagonal tile = its corner), and the
+        # device filter carries positions as int32 with a -2^30 padding
+        # sentinel — violating either would silently drop/keep the
+        # wrong pairs
+        if pos.shape[0] != v:
+            raise ValueError("pos length must equal the variant count")
+        if v and (np.any(np.diff(pos) < 0) or pos[0] < 0
+                  or pos[-1] >= 2**30):
+            raise ValueError(
+                "max_dist scans require ascending positions in "
+                "[0, 2^30); sort the variants (the packed store always "
+                "is) or drop max_dist"
+            )
     n_shards = 1 if mesh is None else int(mesh.size)
 
     cache_key = None
@@ -1141,14 +1180,20 @@ def stream_threshold_scan(
         import os
 
         os.makedirs(checkpoint_dir, exist_ok=True)
-        # "v4": bumped when mask semantics change (v4 = integer-exact
-        # threshold mask) — older layouts/hit-sets are not resumable.
-        # (n_proc, proc_idx) make cooperative multi-process checkpoints
-        # per-process: a resume with a DIFFERENT process count sees a
-        # different tile slicing and must not reuse the files.
+        # "v5": bumped when the fingerprint or mask semantics change —
+        # older layouts/hit-sets are not resumable.  (n_proc, proc_idx)
+        # make cooperative multi-process checkpoints per-process: a
+        # resume with a DIFFERENT process count sees a different tile
+        # slicing and must not reuse the files.  The full pos content
+        # and n_haplotypes are hashed (r5 review: resuming after a
+        # coordinate fix with the same final position silently reused
+        # hits filtered under the OLD positions).
         fp = hashlib.sha256(
-            repr(("v4", want, v, h, measure, thres, max_dist, band, chunk,
-                  int(np.asarray(pos)[-1]) if v else 0,
+            repr(("v5", want, v, h, int(n_haplotypes), measure, thres,
+                  max_dist, band, chunk,
+                  hashlib.sha256(
+                      np.ascontiguousarray(pos).tobytes()
+                  ).hexdigest(),
                   n_proc, proc_idx)).encode()
         ).hexdigest()[:16]
 

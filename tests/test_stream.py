@@ -624,3 +624,58 @@ def test_scan_resident_cache_capacity_env(rng, monkeypatch):
     assert d1.stats["resident_hit"] == 1.0  # both fit at capacity 2
     assert d2.stats["resident_hit"] == 1.0
     mod.clear_resident_cache()
+
+
+def test_scan_input_validation(rng):
+    """Misuse fails fast: bad measure, unsorted/oversized positions
+    under max_dist, Pallas-indivisible band, empty input."""
+    G = random_haplotypes(rng, 20, 32, maf_low=0.2, maf_high=0.8)
+    with pytest.raises(ValueError, match="measure"):
+        stream_threshold_scan(G, measure="r2", thres=0.5,
+                              use_pallas=False, band=16, chunk=16)
+    bad_pos = np.array([100, 50] + list(range(200, 2000, 100)),
+                       dtype=np.int64)
+    with pytest.raises(ValueError, match="ascending"):
+        stream_threshold_scan(
+            G, pos=bad_pos, measure="r_square", thres=0.5,
+            max_dist=500, use_pallas=False, band=16, chunk=16,
+        )
+    big_pos = (np.arange(20, dtype=np.int64) + 1) * (2**26)
+    with pytest.raises(ValueError, match="2\\^30"):
+        stream_threshold_scan(
+            G, pos=big_pos, measure="r_square", thres=0.5,
+            max_dist=500, use_pallas=False, band=16, chunk=16,
+        )
+    with pytest.raises(ValueError, match="divisible"):
+        stream_threshold_scan(
+            np.zeros((500, 64), np.int8), measure="r_square", thres=0.5,
+            band=384, chunk=512, use_pallas=True, interpret=True,
+        )
+    empty = stream_threshold_scan(
+        np.zeros((0, 64), np.int8), measure="r_square", thres=0.5,
+        use_pallas=False,
+    )
+    assert len(empty.i) == 0 and empty.stats is not None
+
+
+def test_scan_checkpoint_fingerprint_covers_pos(rng, tmp_path):
+    """Changing interior positions (same length, same final coordinate)
+    must NOT resume from the old checkpoints (r5 review)."""
+    G = random_haplotypes(rng, 40, 64, maf_low=0.1, maf_high=0.9)
+    pos_a = (np.arange(40, dtype=np.int64) + 1) * 100
+    pos_b = pos_a.copy()
+    pos_b[10:20] += 37  # interior change only; pos_b[-1] == pos_a[-1]
+    kw = dict(measure="r_square", thres=0.3, max_dist=900, band=16,
+              chunk=16, use_pallas=False, exact=True,
+              checkpoint_dir=str(tmp_path))
+    a = stream_threshold_scan(G, pos=pos_a, **kw)
+    b = stream_threshold_scan(G, pos=pos_b, **kw)
+    ref_b = stream_threshold_scan(
+        G, pos=pos_b, measure="r_square", thres=0.3, max_dist=900,
+        band=16, chunk=16, use_pallas=False, exact=True,
+    )
+    np.testing.assert_array_equal(b.i, ref_b.i)
+    np.testing.assert_array_equal(b.j, ref_b.j)
+    # and the two runs' checkpoints did not collide
+    fps = {p.name.split("_")[1] for p in tmp_path.glob("scan_*_batch*.npz")}
+    assert len(fps) == 2
