@@ -71,7 +71,16 @@ PALETTES = {
 
 
 def colorscale_stops(name: str):
-    stops = PALETTES.get(str(name).lower(), PALETTES["greens"])
+    key = str(name).lower()
+    if key not in PALETTES:
+        # the reference errors on unknown palettes too (plotly raises
+        # inside ld_triangle.py); a silent greens fallback would hide
+        # the typo
+        raise ValueError(
+            f"unknown color palette {name!r}; valid names: "
+            + ", ".join(sorted(PALETTES))
+        )
+    stops = PALETTES[key]
     n = len(stops)
     return [[i / (n - 1), c] for i, c in enumerate(stops)]
 
@@ -235,7 +244,19 @@ def build_figure_columnar(
 
     width = 2 if qdtype == "i2" else 4
     expected = n * (n - 1) // 2 * width
-    assert len(r2_q) == expected and len(dp_q) == expected
+    if len(r2_q) != expected or len(dp_q) != expected:
+        raise ValueError(
+            f"value buffers must hold n*(n-1)/2 {qdtype} codes "
+            f"({expected} bytes); got {len(r2_q)}/{len(dp_q)}"
+        )
+    if freq_q is None and (
+        freq1_q is None or freq2_q is None
+        or len(freq1_q) != expected or len(freq2_q) != expected
+    ):
+        raise ValueError(
+            "mixed-ploidy figures need freq1_q/freq2_q triangle buffers "
+            "of the same size as the value buffers"
+        )
     columnar = {
         "n": n,
         "measure": measure,
@@ -314,7 +335,11 @@ def pool_rows_composite(pooled, values, int_zero, row_lo: int, row_hi: int,
     import numpy as np
 
     rows = row_hi - row_lo
-    assert row_hi < (1 << _POOL_SHIFT)
+    if row_hi >= (1 << _POOL_SHIFT):
+        raise ValueError(
+            f"overview pooling supports up to {1 << _POOL_SHIFT} "
+            "variants"
+        )
     cols = np.asarray(values[0]).shape[0] if rows else 0
     if rows == 0 or cols == 0:
         return
@@ -368,7 +393,10 @@ def build_figure_overview(
     import numpy as np
 
     f, P = pool_shape(n)
-    assert pooled.shape == (P, P)
+    if pooled.shape != (P, P):
+        raise ValueError(
+            f"pooled accumulator must be ({P}, {P}); got {pooled.shape}"
+        )
     r2_full = np.frombuffer(r2_q, dtype="<i2")
     dp_full = np.frombuffer(dp_q, dtype="<i2")
     # pooled lower triangle INCLUDING the diagonal (diagonal pool cells
@@ -592,7 +620,7 @@ _HTML_TEMPLATE_COLUMNAR = """<!DOCTYPE html>
  #wrap { position: relative; display: inline-block; }
  #tip { position: absolute; display: none; background: #fff; border: 1px solid #888;
         padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
-        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; }
  canvas { cursor: crosshair; }
 </style></head><body>
 <div id="title"></div>
@@ -681,6 +709,13 @@ function clampView() {
   view.ox = Math.min(Math.max(view.ox, 0), Math.max(0, n - span));
   view.oy = Math.min(Math.max(view.oy, 0), Math.max(0, n - span));
 }
+// normalized palette position of z == 0 — the background (upper
+// triangle / below-threshold) color.  When negatives are impossible
+// (thresholded figure, or r^2) cells at-or-below background are
+// skipped (pure speed); otherwise every lower-triangle cell pools so
+// negative D' regions color like the small-figure per-cell renderer.
+const t0 = (0 - zmin) / (zmax - zmin);
+const SKIP_BG = C.thres !== null || zmin >= 0;
 function draw() {
   const px = view.px;
   const img = ctx.createImageData(side, side);
@@ -688,7 +723,7 @@ function draw() {
   // max-pool visible cells into pixels (several cells can share one
   // pixel when zoomed out: keep the strongest signal so hits stay
   // visible); y autorange is reversed — row 0 at the top
-  const pool = new Float32Array(W * side);  // zeros = background
+  const pool = new Float32Array(W * side).fill(SKIP_BG ? t0 : -Infinity);
   const i0 = Math.max(1, Math.floor(view.oy));
   const i1 = Math.min(n, Math.ceil(view.oy + side / px));
   for (let i = i0; i < i1; i++) {
@@ -699,19 +734,20 @@ function draw() {
     const j0 = Math.max(0, Math.floor(view.ox));
     const j1 = Math.min(i, Math.ceil(view.ox + side / px));
     for (let j = j0; j < j1; j++) {
-      const v = zAt(i, j);
-      if (v <= 0) continue;
+      const t = (zAt(i, j) - zmin) / (zmax - zmin);
+      if (SKIP_BG && t <= t0) continue;  // pool starts at the z==0
+                                         // color; can't raise a pixel
       const xA = (j - view.ox) * px, xB = (j + 1 - view.ox) * px;
       const x0 = Math.max(0, Math.floor(xA));
       const x1 = Math.min(side, Math.max(x0 + 1, Math.floor(xB)));
       for (let y = y0; y < y1; y++) for (let x = x0; x < x1; x++) {
         const o = y * W + x;
-        if (v > pool[o]) pool[o] = v;
+        if (t > pool[o]) pool[o] = t;
       }
     }
   }
   for (let o = 0; o < pool.length; o++) {
-    const c = colorAt((pool[o] - zmin) / (zmax - zmin));
+    const c = colorAt(pool[o] === -Infinity ? t0 : pool[o]);
     img.data[4*o] = c[0]; img.data[4*o+1] = c[1];
     img.data[4*o+2] = c[2]; img.data[4*o+3] = 255;
   }
@@ -793,7 +829,7 @@ _HTML_TEMPLATE_OVERVIEW = """<!DOCTYPE html>
  #wrap { position: relative; display: inline-block; }
  #tip { position: absolute; display: none; background: #fff; border: 1px solid #888;
         padding: 6px 8px; font-size: 11px; pointer-events: none; z-index: 9;
-        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; white-space: pre-line; }
+        box-shadow: 0 1px 4px rgba(0,0,0,.3); max-width: 360px; }
  canvas { cursor: crosshair; }
 </style></head><body>
 <div id="title"></div>
