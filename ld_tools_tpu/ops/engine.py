@@ -24,18 +24,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _downcast_counts(c_ab, hap_axis: int):
+    """Counts are bounded by the haplotype axis; int16 halves the
+    device->host transfer, which dominates tool wall time through an
+    RPC-relayed device (1000G scale: counts <= 5,008).  ONE rule shared
+    by every count kernel so their transfer dtypes can never drift."""
+    return c_ab.astype(jnp.int16) if hap_axis < 32768 else c_ab
+
+
 @functools.partial(jax.jit, donate_argnums=())
 def _counts_kernel(a, b):
     # int8 x int8 -> int32 runs the MXU at 2x the bf16 rate on v5e+ and
     # the {0,1} counts stay exact integers — the same dot the flagship
     # Pallas kernels use (ops/ld_pallas.py), so tool runs see the full
     # int8 MXU rate, not half of it.
-    c_ab = haplotype_counts_int8(a, b)
-    if a.shape[1] < 32768:
-        # counts are bounded by the haplotype axis; int16 halves the
-        # device->host transfer, which dominates tool wall time through
-        # an RPC-relayed device (1000G scale: counts <= 5,008)
-        c_ab = c_ab.astype(jnp.int16)
+    c_ab = _downcast_counts(haplotype_counts_int8(a, b), a.shape[1])
     return c_ab, allele_counts(a), allele_counts(b)
 
 
@@ -98,9 +101,18 @@ def pair_counts_async(a: np.ndarray, b: np.ndarray, row_pad: int = 128,
     ``pair_counts``.
     """
     n_hap = a.shape[1]
-    assert b.shape[1] == n_hap
+    if b.shape[1] != n_hap:
+        raise ValueError(
+            f"haplotype axes differ: {a.shape[1]} vs {b.shape[1]} — "
+            "zero-padding the narrower side would silently corrupt "
+            "the counts"
+        )
     va, vb = a.shape[0], b.shape[0]
-    if va * vb * max(n_hap, 1) < _HOST_COUNTS_MACS:
+    # host path: f32 BLAS partial sums are exact only below 2^24 — far
+    # past any real cohort, but the guard keeps the 'exact either way'
+    # contract honest for absurd inputs
+    if (va * vb * max(n_hap, 1) < _HOST_COUNTS_MACS
+            and n_hap < (1 << 24)):
         out = _pair_counts_host(a, b)
         return lambda: out
     h = _round_up(max(n_hap, 1), hap_pad)
@@ -136,22 +148,27 @@ def exact_all_pairs(G: np.ndarray, block: int = 4096) -> ExactLD:
     v, h = G.shape
     if v <= block:
         return exact_pair_ld(G, G)
-    # int32 accumulation: counts are exact and the integer dtype routes
-    # the finish through the native one-pass path (ops/exact.py)
+    # Larger V: upload G once (ResidentCounts) and stream row-band x
+    # column-prefix blocks with a two-slot pipeline — block k+1's device
+    # counts are in flight while block k's result lands in the output
+    # matrix.  int32 accumulation: counts are exact and the integer
+    # dtype routes the finish through the native one-pass path
+    # (ops/exact.py).
+    resident = ResidentCounts(G, block_pad=block)
     c_ab = np.empty((v, v), dtype=np.int32)
-    c1_full = np.empty((v,), dtype=np.float64)
     starts = list(range(0, v, block))
-    for i in starts:
-        a = G[i : i + block]
-        for j in starts:
-            if j > i:
-                continue
-            cb, c1, _ = pair_counts(a, G[j : j + block])
-            c_ab[i : i + block, j : j + block] = cb
-            if j == i:
-                c1_full[i : i + block] = c1
-            else:
-                c_ab[j : j + block, i : i + block] = cb.T
+    pending = None
+    for bi, i in enumerate(starts + [None]):
+        fin_prev = pending
+        if i is not None:
+            r1 = min(i + block, v)
+            pending = (i, r1, resident.block_async(i, r1, r1))
+        if fin_prev is not None:
+            p0, p1, fin = fin_prev
+            cb, _, _ = fin()
+            c_ab[p0:p1, :p1] = cb
+            c_ab[:p1, p0:p1] = cb.T  # mirror (diagonal block overlaps)
+    c1_full = resident.row_counts[:v].astype(np.float64)
     return exact_ld_from_counts(c_ab, c1_full, c1_full, h)
 
 
@@ -176,18 +193,30 @@ class MixedExactLD:
     r_square_is_int_zero: np.ndarray
     own_freq1: np.ndarray         # (V1,)
     own_freq2: np.ndarray         # (V2,)
+    _r2_rounded_cache: object = dataclasses.field(
+        default=None, init=False, repr=False, compare=False
+    )
+    _dp_rounded_cache: object = dataclasses.field(
+        default=None, init=False, repr=False, compare=False
+    )
 
     def r_square_rounded(self):
         from ld_tools_tpu.ops.exact import _rounded_object_array
 
-        return _rounded_object_array(
-            self.r_square, self.r_square_is_int_zero
-        )
+        if self._r2_rounded_cache is None:
+            self._r2_rounded_cache = _rounded_object_array(
+                self.r_square, self.r_square_is_int_zero
+            )
+        return self._r2_rounded_cache
 
     def d_prime_rounded(self):
         from ld_tools_tpu.ops.exact import _rounded_object_array
 
-        return _rounded_object_array(self.d_prime, self.d_prime_is_int_zero)
+        if self._dp_rounded_cache is None:
+            self._dp_rounded_cache = _rounded_object_array(
+                self.d_prime, self.d_prime_is_int_zero
+            )
+        return self._dp_rounded_cache
 
     def pair(self, i: int, j: int) -> dict:
         """Reference calc_ld dict for pair (i, j), values AND types."""
@@ -214,6 +243,13 @@ def mixed_pair_ld_async(chrom_data, cohort_ploidy, rows1, rows2):
     calc_ld.py:30-33), finished bit-exactly with per-side list lengths.
     Returns ``finalize() -> MixedExactLD``; all blocks are dispatched
     before any is awaited, so device compute overlaps host assembly.
+
+    Known cost bound: each call re-extracts and re-uploads its row
+    sets, so a streamed caller passing a growing prefix (the mixed
+    triangle writers) pays ~n^2/2 bytes cumulative — acceptable at the
+    sizes chrX PAR-straddling sets reach in practice; a device-resident
+    mixed engine (per-profile ResidentCounts) is the upgrade path if
+    that ever changes.
     """
     rows1 = np.asarray(rows1, dtype=np.int64)
     rows2 = np.asarray(rows2, dtype=np.int64)
@@ -286,10 +322,9 @@ def mixed_pair_ld(chrom_data, cohort_ploidy, rows1, rows2) -> MixedExactLD:
 def _resident_counts_kernel(g, r0, *, rows_pad, cols_pad):
     a = jax.lax.dynamic_slice(g, (r0, 0), (rows_pad, g.shape[1]))
     b = jax.lax.dynamic_slice(g, (0, 0), (cols_pad, g.shape[1]))
-    c_ab = haplotype_counts_int8(a, b)
-    if g.shape[1] < 32768:
-        c_ab = c_ab.astype(jnp.int16)
-    return c_ab, allele_counts(a), allele_counts(b)
+    # allele counts are sliced from a host-precomputed vector by the
+    # caller — only the count tile crosses the wire
+    return _downcast_counts(haplotype_counts_int8(a, b), g.shape[1])
 
 
 class ResidentCounts:
@@ -316,22 +351,42 @@ class ResidentCounts:
         gp = np.zeros((v_p, h_p), dtype=np.int8)
         gp[:v, :h] = G
         self._g = jnp.asarray(gp)
+        # allele counts once on the host: per-block device reductions
+        # (and their D2H transfers) buy nothing over slicing this
+        self._c1 = G.astype(np.float32).sum(axis=1)
+
+    @property
+    def row_counts(self) -> np.ndarray:
+        """(V,) f32 per-variant alt-allele counts."""
+        return self._c1
 
     def block_async(self, r0: int, r1: int, c_hi: int):
         """Dispatch counts for rows [r0, r1) x cols [0, c_hi); returns
-        ``finalize() -> (c_ab, c1_rows, c1_cols)`` trimmed numpy."""
+        ``finalize() -> (c_ab, c1_rows, c1_cols)`` trimmed numpy.
+
+        ``r0 + rows_pad`` must stay inside the padded matrix (true for
+        block_pad-aligned r0): jax's dynamic_slice CLAMPS out-of-range
+        starts, which would silently return counts for the wrong rows.
+        """
         rows_pad = _round_up(max(r1 - r0, 1), self._block_pad)
         cols_pad = _round_up(max(c_hi, 1), self._block_pad)
+        if r0 + rows_pad > self._g.shape[0] or r0 < 0:
+            raise ValueError(
+                f"rows [{r0}, {r0 + rows_pad}) exceed the padded matrix "
+                f"({self._g.shape[0]} rows); r0 must be "
+                f"block_pad-aligned ({self._block_pad})"
+            )
+        if c_hi > self._g.shape[0]:
+            raise ValueError("c_hi exceeds the matrix")
         out = _resident_counts_kernel(
             self._g, r0, rows_pad=rows_pad, cols_pad=cols_pad
         )
 
         def finalize():
-            c_ab, c1r, c1c = out
             return (
-                np.asarray(c_ab)[: r1 - r0, :c_hi],
-                np.asarray(c1r)[: r1 - r0],
-                np.asarray(c1c)[:c_hi],
+                np.asarray(out)[: r1 - r0, :c_hi],
+                self._c1[r0:r1],
+                self._c1[:c_hi],
             )
 
         return finalize

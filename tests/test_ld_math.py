@@ -331,3 +331,34 @@ def test_measures_rounded_block_both_fallback(rng, monkeypatch):
     fallback = mod.measures_rounded_block_both(c_ab, c1, c1, h)
     for a, b in zip(native, fallback):
         np.testing.assert_array_equal(a, b)
+
+
+def test_exact_all_pairs_blocked_matches_single_call(rng):
+    """The streamed (resident, two-slot) blocked path must equal the
+    single-call path bit-for-bit, including the mirrored upper half."""
+    from ld_tools_tpu.ops.engine import exact_all_pairs
+
+    G = (rng.random((70, 48)) < rng.uniform(0.1, 0.9, (70, 1))).astype(
+        np.int8
+    )
+    G[9] = 0
+    one = exact_all_pairs(G)
+    blocked = exact_all_pairs(G, block=32)
+    np.testing.assert_array_equal(blocked.r_square, one.r_square)
+    np.testing.assert_array_equal(blocked.d_prime, one.d_prime)
+    np.testing.assert_array_equal(
+        blocked.r_square_is_int_zero, one.r_square_is_int_zero
+    )
+    np.testing.assert_array_equal(blocked.p1, one.p1)
+
+
+def test_resident_counts_misaligned_tail_raises(rng):
+    """dynamic_slice clamps out-of-range starts; the guard must turn the
+    silent wrong-rows case into an error."""
+    from ld_tools_tpu.ops.engine import ResidentCounts
+
+    G = (rng.random((300, 32)) < 0.4).astype(np.int8)
+    rc = ResidentCounts(G, block_pad=128)
+    rc.block_async(256, 300, 300)()  # aligned tail: fine
+    with pytest.raises(ValueError, match="aligned"):
+        rc.block_async(257, 300, 300)
