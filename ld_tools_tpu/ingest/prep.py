@@ -64,13 +64,19 @@ def _download(url: str, path: str, retries: int = 3, retry_delay_s: int = 60):
     (prep_intgen_data.py:124-133); bounded retries fail fast in the
     zero-egress environments this framework typically runs in.
     """
+    tmp = path + ".part"
     for attempt in range(retries):
         try:
-            urllib.request.urlretrieve(url, path)
+            # download to a temp name and publish atomically: a SIGKILL
+            # or Ctrl-C mid-transfer must never leave a truncated file
+            # at the final path (later runs would treat it as complete
+            # and silently build smaller cohorts)
+            urllib.request.urlretrieve(url, tmp)
+            os.replace(tmp, path)
             return
         except Exception as exc:  # noqa: BLE001 - mirror reference's bare except
-            if os.path.exists(path):
-                os.remove(path)
+            if os.path.exists(tmp):
+                os.remove(tmp)
             log.warning("download failed (%s): %s", url, exc)
             if attempt + 1 < retries:
                 time.sleep(retry_delay_s)
@@ -122,12 +128,16 @@ def discover_vcfs(intgen_dir_path: str) -> dict:
         if not (name.endswith(".vcf.gz") or name.endswith(".vcf")):
             continue
         stem = name[: -len(".vcf.gz")] if name.endswith(".vcf.gz") else name[:-4]
-        if re.fullmatch(r"\d{1,2}|X|Y", stem):
-            out[stem] = os.path.join(intgen_dir_path, name)
+        if re.fullmatch(r"\d{1,2}|X|Y", stem, flags=re.IGNORECASE):
+            out[stem.upper()] = os.path.join(intgen_dir_path, name)
             continue
         m = _CHR_FROM_NAME.search(stem)
         if m:
-            out.setdefault(m.group(1), os.path.join(intgen_dir_path, name))
+            # normalize x/y to the reference's uppercase naming so the
+            # store directory and the variants table never disagree
+            out.setdefault(
+                m.group(1).upper(), os.path.join(intgen_dir_path, name)
+            )
     return out
 
 
@@ -217,8 +227,17 @@ def _maybe_download_vcfs(intgen_dir_path: str) -> dict:
         log.info("urls.txt missing; scraping FTP index (requires network)")
         with urllib.request.urlopen(HG38_INDEX_URL) as response:
             names = re.findall(
-                r"ALL\.chr(?:\d{1,2}|X|Y)_GRCh38\.genotypes\.\S+?\.vcf\.gz(?=\r\n)",
+                r"ALL\.chr(?:\d{1,2}|X|Y)_GRCh38\.genotypes\.\S+?\.vcf\.gz"
+                r"(?=\r?\n)",
                 response.read().decode("UTF-8"),
+            )
+        if not names:
+            # writing an empty urls.txt would make every future run
+            # silently succeed with zero chromosomes
+            raise RuntimeError(
+                "FTP index scrape matched no per-chromosome VCF names; "
+                "place urls.txt (one URL per line) or the .vcf.gz files "
+                "in the data directory manually"
             )
         with open(urls_path, "w") as fh:
             for name in names:
@@ -229,7 +248,15 @@ def _maybe_download_vcfs(intgen_dir_path: str) -> dict:
             url = line.strip()
             if not url:
                 continue
-            chrom = re.search(r"(?<=chr)(?:\d{1,2}|X|Y)", os.path.basename(url)).group()
+            m = re.search(
+                r"(?<=chr)(?:\d{1,2}|X|Y)", os.path.basename(url),
+                flags=re.IGNORECASE,
+            )
+            if m is None:
+                raise RuntimeError(
+                    f"cannot infer a chromosome from urls.txt line: {url}"
+                )
+            chrom = m.group().upper()
             vcf_path = os.path.join(intgen_dir_path, f"{chrom}.vcf.gz")
             if not os.path.exists(vcf_path):
                 _download(url, vcf_path)

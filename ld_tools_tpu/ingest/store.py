@@ -87,9 +87,7 @@ class ChromData:
         rows = np.asarray(rows, dtype=np.int64)
         if self._G is not None:
             return self._G[rows]
-        return np.unpackbits(
-            self.packed[rows], axis=1, count=self.n_haplotypes
-        ).astype(np.int8)
+        return pack.unpack_rows(self.packed, rows, self.n_haplotypes)
 
     @property
     def packed(self) -> np.ndarray:
@@ -99,20 +97,6 @@ class ChromData:
                 if self._packed is None:
                     self._packed = pack.read_packed(self._dir, self.chrom)
         return self._packed
-
-    def cohort_packed(self, sample_names):
-        """Bitpacked cohort matrix + its haplotype count.
-
-        Full-cohort selections return the store bytes as-is (zero copy);
-        subsets are repacked in row chunks (pack.pack_columns).
-        """
-        cols = self.haplotype_columns(sample_names)
-        n = len(cols)
-        if n == self.n_haplotypes and np.array_equal(
-            cols, np.arange(self.n_haplotypes)
-        ):
-            return self.packed, n
-        return pack.pack_columns(self.packed, cols, self.n_haplotypes), n
 
     def annotation(self, name: str) -> np.ndarray:
         """'ref' | 'alt' | 'vt' sidecar."""
@@ -138,7 +122,12 @@ class ChromData:
         """Row range [start, stop) with low_bound < pos <= high_bound.
 
         Matches pysam/tabix fetch(chrom, low, high) half-open 0-based
-        semantics on 1-based VCF positions (reference ld_area.py:215-217).
+        semantics on 1-based VCF positions (reference ld_area.py:215-217)
+        for every variant STARTING inside the window.  Known divergence
+        (docs/PARITY.md): a deletion whose REF allele starts at or
+        before ``low_bound`` but spans past it is returned by tabix
+        (interval overlap) yet excluded here (start-position match) —
+        only indels whose REF crosses the window's left edge differ.
         """
         start = int(np.searchsorted(self.pos, low_bound, side="right"))
         stop = int(np.searchsorted(self.pos, high_bound, side="right"))
@@ -247,11 +236,18 @@ class HaplotypeStore:
     def __init__(self, intgen_dir_path: str):
         self.intgen_dir_path = intgen_dir_path
         self._chroms = {}
+        self._lock = threading.Lock()
 
     def chroms(self) -> list:
         return pack.list_chroms(self.intgen_dir_path)
 
     def chrom(self, chrom: str) -> ChromData:
-        if chrom not in self._chroms:
-            self._chroms[chrom] = ChromData(self.intgen_dir_path, chrom)
-        return self._chroms[chrom]
+        # locked check-then-act: tool workers are THREADS sharing one
+        # store (tools/common.map_files); two racing constructions would
+        # each cache (and later unpack) their own copy of the matrix
+        with self._lock:
+            if chrom not in self._chroms:
+                self._chroms[chrom] = ChromData(
+                    self.intgen_dir_path, chrom
+                )
+            return self._chroms[chrom]
