@@ -118,6 +118,25 @@ class ChromData:
             self._row_index = idx  # atomic publish; rebuild race is benign
         return self._row_index.get(rsid)
 
+    def row_at(self, rsid: str, pos: int):
+        """Row of an rsID at a SPECIFIC position.
+
+        conversion.db can hold one rsID at two positions (ingest drops
+        only consecutive duplicate triples); ``row_of`` alone would
+        collapse both queries onto the first row.  Falls back to
+        ``row_of`` when nothing matches at ``pos`` (the reference's
+        recorded-position fetch + rsID match, ld_area.py:153-159).
+        """
+        r = self.row_of(rsid)
+        if r is not None and int(self.pos[r]) == int(pos):
+            return r
+        lo = int(np.searchsorted(self.pos, pos, side="left"))
+        hi = int(np.searchsorted(self.pos, pos, side="right"))
+        for k in range(lo, hi):
+            if str(self.rsid[k]) == rsid:
+                return k
+        return r
+
     def window(self, low_bound: int, high_bound: int):
         """Row range [start, stop) with low_bound < pos <= high_bound.
 

@@ -64,8 +64,17 @@ class AreaResultWriter:
         self.rows.append(list(ann_row))
 
     def flush(self) -> bool:
-        """Write the file; returns False (and writes nothing) if no hits."""
+        """Write the file; returns False (and writes nothing) if no hits.
+
+        A pre-existing file at the path is REMOVED in the no-hits case:
+        reruns into the same target dir must end like the reference's
+        create-then-delete-if-empty (ld_area.py:291-292), never with a
+        stale result file from a previous run surviving."""
         if not self.rows:
+            try:
+                os.remove(self.path)
+            except OSError:
+                pass
             return False
         header_line = ucsc_header_line(self.meta_keys, self.meta_vals)
         with open(self.path, "w") as fh:

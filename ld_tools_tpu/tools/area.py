@@ -21,7 +21,7 @@ import numpy as np
 from ld_tools_tpu.ingest import create_src_dict
 from ld_tools_tpu.io.writers import AreaResultWriter, makedirs
 from ld_tools_tpu.ops.engine import mixed_pair_ld_async, pair_counts_async
-from ld_tools_tpu.ops.exact import exact_ld_from_counts
+from ld_tools_tpu.ops.exact import measures_rounded_block_both
 from ld_tools_tpu.tools.common import DataConfig
 from ld_tools_tpu.utils.logging import get_logger
 from ld_tools_tpu.utils.profiling import maybe_trace
@@ -33,6 +33,15 @@ log = get_logger("tools.area")
 # stays under this many cells — compute scales with the flank windows the
 # tool actually reports on, never with whole-chromosome size.
 _DENSE_CELL_LIMIT = 16_000_000
+
+
+class _UniformFreqs:
+    """p1/p2 carrier matching MixedExactLD's attribute shape contract
+    for the uniform path (1-D pair-independent frequencies)."""
+
+    def __init__(self, p1, p2):
+        self.p1 = p1
+        self.p2 = p2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +62,13 @@ class AreaConfig:
             if args.trg_top_dir_path is None
             else os.path.normpath(args.trg_top_dir_path)
         )
+        if args.trg_file_type not in ("tsv", "json", "rsids"):
+            # fail before any device compute or file creation (the CLI
+            # restricts choices; programmatic callers get the same check)
+            raise ValueError(
+                f"trg_file_type must be tsv/json/rsids, got "
+                f"{args.trg_file_type!r}"
+            )
         return AreaConfig(
             src_dir_path=src,
             trg_top_dir_path=trg,
@@ -122,30 +138,36 @@ class AreaRunner:
         cfg = self.config
         cd = self._store.chrom(chrom)
         cp = cd.cohort_ploidy(self.data.sample_names)
-        chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
+        chrom_groups = (
+            np.zeros(1, dtype=np.int16)
+            if cp.trivial
+            else np.unique(cd.pgroup)
+        )
         mixed = chrom_groups.size > 1
-        if mixed:
-            G = None  # row slices are fetched per group by the engine
-        else:
+        cols = None
+        if not mixed:
             # single ploidy profile (autosomes; also all-haploid chrY):
-            # slice the profile's live cohort columns once — identical to
-            # the original diploid path when the profile is all-2
+            # each group fetches ONLY its window rows below — memory is
+            # O(flank windows), never O(chromosome) (the full unpacked
+            # chr1 cohort matrix is ~30 GB)
             gid = int(chrom_groups[0]) if chrom_groups.size else 0
             cols = cp.cols_for(gid)
-            G = cd.genotypes[:, cols]
-            n_hap = G.shape[1]
+            n_hap = int(cols.shape[0])
         pos = cd.pos
         rsid = cd.rsid
         ref_ann = cd.annotation("ref")
         alt_ann = cd.annotation("alt")
         vt_ann = cd.annotation("vt")
 
-        # Resolve query rows; unknown-at-position rsIDs are skipped with a
-        # warning (the reference would crash with UnboundLocalError here —
-        # ld_area.py:158, quirk not replicated).
+        # Resolve query rows BY (position, rsID) — conversion.db can
+        # carry one rsID at two positions, and first-match row_of would
+        # collapse both queries onto one window.  Unknown-at-position
+        # rsIDs are skipped with a warning (the reference would crash
+        # with UnboundLocalError here — ld_area.py:158, quirk not
+        # replicated).
         queries = []
-        for _, q_rsid in var_rows:
-            row = cd.row_of(q_rsid)
+        for q_pos, q_rsid in var_rows:
+            row = cd.row_at(q_rsid, q_pos)
             if row is None:
                 log.warning("query %s not present in packed chr%s; skipped",
                             q_rsid, chrom)
@@ -196,7 +218,10 @@ class AreaRunner:
                 return mixed_pair_ld_async(
                     cd, cp, q_rows[qis], np.arange(s, t)
                 )
-            return pair_counts_async(G[q_rows[qis]], G[s:t])
+            return pair_counts_async(
+                cd.genotype_rows(q_rows[qis])[:, cols],
+                cd.genotype_rows(np.arange(s, t))[:, cols],
+            )
 
         pending = None
         if groups:
@@ -208,21 +233,33 @@ class AreaRunner:
                 pending = dispatch(*groups[gi + 1])
             if mixed:
                 exacts = finished
+                r2_all = exacts.r_square_rounded()
+                dp_all = exacts.d_prime_rounded()
+                iz_pack = None
             else:
+                # rounded f64 + sentinel masks: boxing the full group
+                # matrix into Python objects (r?_rounded) cost ~1 GB and
+                # seconds per 16M-cell group; only the few hit cells
+                # ever need the int-0 object form
                 c_ab, c1q, c1cols = finished
-                exacts = exact_ld_from_counts(c_ab, c1q, c1cols, n_hap)
-            r2_all = exacts.r_square_rounded()
-            dp_all = exacts.d_prime_rounded()
+                exacts = _UniformFreqs(
+                    np.asarray(c1q, np.float64) / float(n_hap),
+                    np.asarray(c1cols, np.float64) / float(n_hap),
+                )
+                r2_all, r2_iz, dp_all, dp_iz = (
+                    measures_rounded_block_both(c_ab, c1q, c1cols, n_hap)
+                )
+                iz_pack = (r2_iz, dp_iz)
             written += self._write_group(
                 qis, grp, windows, c_start, exacts, r2_all, dp_all,
-                chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
+                iz_pack, chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
                 chr_dir_path, ext, meta_keys, meta_vals,
             )
         return written
 
     def _write_group(
         self, qis, grp, windows, c_start, exacts, r2_all, dp_all,
-        chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
+        iz_pack, chrom, pos, rsid, ref_ann, alt_ann, vt_ann,
         chr_dir_path, ext, meta_keys, meta_vals,
     ) -> int:
         cfg = self.config
@@ -234,6 +271,9 @@ class AreaRunner:
             start, stop = windows[qi]
             r2_win = r2_all[gi, start - c_start : stop - c_start]
             dp_win = dp_all[gi, start - c_start : stop - c_start]
+            if iz_pack is not None:
+                r2_iz_win = iz_pack[0][gi, start - c_start : stop - c_start]
+                dp_iz_win = iz_pack[1][gi, start - c_start : stop - c_start]
             if exacts.p2.ndim == 2:
                 # mixed-ploidy chromosome: opponent freqs are pair-
                 # dependent (reference divides by htypes_quan of the
@@ -275,6 +315,12 @@ class AreaRunner:
                     continue
                 if measure_win[k] < cfg.ld_low_thres:
                     continue
+                if iz_pack is None:
+                    r2_val, dp_val = r2_win[k], dp_win[k]
+                else:
+                    # int-0 sentinel objectified ONLY for written cells
+                    r2_val = 0 if r2_iz_win[k] else float(r2_win[k])
+                    dp_val = 0 if dp_iz_win[k] else float(dp_win[k])
                 writer.add_opponent(
                     [
                         int(pos[o_row]),
@@ -283,8 +329,8 @@ class AreaRunner:
                         str(alt_ann[o_row]),
                         str(vt_ann[o_row]),
                         round(float(p2_win[k]), 4),
-                        r2_win[k],
-                        dp_win[k],
+                        r2_val,
+                        dp_val,
                         int(pos[o_row]) - q_pos,
                     ]
                 )

@@ -313,7 +313,11 @@ def scan_chromosome(
     t_start = time.time()
     cd = data.store().chrom(chrom)
     cp = cd.cohort_ploidy(data.sample_names)
-    chrom_groups = np.unique(cp.groups_of(np.arange(cd.n_variants)))
+    chrom_groups = (
+        np.zeros(1, dtype=np.int16)
+        if cp.trivial
+        else np.unique(cd.pgroup)
+    )
     if chrom_groups.size > 1:
         hits = _scan_mixed_chromosome(
             data, cd, cp, config, multiprocess=multiprocess

@@ -116,7 +116,8 @@ class TriangleRunner:
         var_rows = sorted(var_rows, key=lambda row: row[0])
         rows, poss_srtd, rs_ids_srtd = [], [], []
         for q_pos, q_rsid in var_rows:
-            row = cd.row_of(q_rsid)
+            # by (position, rsID): one rsID can occur at two positions
+            row = cd.row_at(q_rsid, q_pos)
             if row is None:
                 log.warning("%s not present in packed chr%s; skipped",
                             q_rsid, chrom)

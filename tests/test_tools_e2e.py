@@ -484,3 +484,33 @@ def test_empty_cohort_fails_at_selection(env):
     rs = list(env.rs_by_chrom["5"])
     with pytest.raises(ValueError, match="no samples match"):
         lite.run(_lite_args(env, rs[0], rs[1], pop_names="ZZZ"))
+
+
+def test_area_stale_file_removed_on_rerun_without_hits(tmp_path):
+    """A pre-existing result file must not survive a rerun in which its
+    query has no hits (reference's create-then-delete-if-empty end
+    state, ld_area.py:291-292)."""
+    from ld_tools_tpu.io.writers import AreaResultWriter
+
+    path = tmp_path / "rsX_chr5_r_0.5.tsv"
+    path.write_text("stale from an earlier run\n")
+    w = AreaResultWriter(str(path), "tsv", ["chr"], ["5"],
+                        [100, "rsX", "A", "G", "SNP", 0.5, "quer", "quer",
+                         "quer"])
+    assert w.flush() is False
+    assert not path.exists()
+
+
+def test_row_at_disambiguates_duplicate_rsids(env):
+    """conversion.db can hold one rsID at two positions; queries must
+    resolve by (pos, rsID), not first-match rsID."""
+    from ld_tools_tpu.ingest import HaplotypeStore
+
+    cd = HaplotypeStore(env.intgen).chrom("5")
+    rs0 = str(cd.rsid[0])
+    # same rsid at the recorded position resolves to that row
+    assert cd.row_at(rs0, int(cd.pos[0])) == 0
+    # wrong position falls back to the first-match row (reference
+    # semantics: fetch at the recorded position, match rsID)
+    assert cd.row_at(rs0, int(cd.pos[0]) + 10**7) == 0
+    assert cd.row_at("rs404e404", int(cd.pos[0])) is None
