@@ -342,15 +342,25 @@ def _fmt_table():
     return _FMT_TABLE
 
 
-def format_rounded(values, int_zero=None):
+def format_rounded(values, int_zero=None, assume_rounded: bool = False):
     """Vectorized reference-faithful string formatting of LD values.
 
     Every emitted string equals ``str(round(v, 4))`` (the reference
     stringifies rounded values verbatim, ld_area.py:274 etc.), including
     negative D' ('-0.25') and the IEEE negative-zero round ('-0.0');
     int-0 sentinel entries print as '0'.  Returns a 1-D object ndarray.
+
+    Values are round4'd first: callers pass RAW f64 (scan hits,
+    hovertext), and a bare rint(v * 1e4) differs from Python's correct
+    decimal rounding near half-ties (e.g. 0.00005 -> '0.0' instead of
+    the reference's '0.0001') — round4 re-rounds exactly those cells
+    with Python's round.  Callers whose values already went through
+    round4/measure_rounded_block pass ``assume_rounded=True`` to skip
+    the redundant pass (4-dp values are never near a tie).
     """
     values = np.asarray(values, dtype=np.float64).ravel()
+    if not assume_rounded:
+        values = round4(values)
     m = np.rint(values * 1e4).astype(np.int64)
     out = _fmt_table()[np.clip(m, -10000, 10000) + 10000]
     oob = (m < -10000) | (m > 10000)

@@ -465,7 +465,9 @@ def _write_table_streamed(
             _t0 = _time.perf_counter()
             for k in range(r1 - r0):
                 r = r0 + k
-                cells = format_rounded(rounded[k, :r], int_zero[k, :r])
+                cells = format_rounded(
+                    rounded[k, :r], int_zero[k, :r], assume_rounded=True
+                )
                 if cfg.ld_low_thres is not None:
                     cells = np.where(
                         rounded[k, :r] >= cfg.ld_low_thres, cells, "0"

@@ -362,3 +362,15 @@ def test_resident_counts_misaligned_tail_raises(rng):
     rc.block_async(256, 300, 300)()  # aligned tail: fine
     with pytest.raises(ValueError, match="aligned"):
         rc.block_async(257, 300, 300)
+
+
+def test_format_rounded_half_tie_matches_python_round():
+    """Raw values near decimal half-ties must print exactly like
+    str(round(v, 4)) — the r5 review caught 0.00005 printing '0.0'."""
+    from ld_tools_tpu.ops.exact import format_rounded
+
+    vals = np.array([0.00005, 0.12345, -0.00005, 0.99995, 0.12344999,
+                     5e-05, 1.0, 0.0, -0.00001])
+    got = format_rounded(vals)
+    want = [str(round(float(v), 4)) for v in vals]
+    assert list(got) == want
