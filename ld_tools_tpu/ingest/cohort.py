@@ -15,6 +15,12 @@ import sqlite3
 
 
 def get_sample_names(gend_names, pop_names, intgen_convdb_path: str) -> list:
+    if isinstance(gend_names, str) or isinstance(pop_names, str):
+        # tuple('male') == ('m','a','l','e') would silently match nothing
+        raise TypeError(
+            "gend_names/pop_names must be sequences of names, not a "
+            "bare string"
+        )
     gend_names = tuple(gend_names)
     pop_names = tuple(pop_names)
     query = (

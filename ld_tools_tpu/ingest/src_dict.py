@@ -34,14 +34,24 @@ def create_src_dict(
     if not rs_ids:
         return {}
 
+    # Chunk the IN list: SQLite caps bound parameters per statement
+    # (999 on pre-3.32 builds) and a full GWAS summary table can carry
+    # hundreds of thousands of rsIDs — the reference's interpolated SQL
+    # had no such cap, so neither may this.  Chunk results concatenate
+    # in database row order per chunk; the tools sort by position anyway
+    # (the reference's own order is its single-query row order).
     rs_ids = tuple(rs_ids)
-    marks = ", ".join("?" for _ in rs_ids)
+    chunk = 500
     data_by_chrs = {}
     with sqlite3.connect(intgen_convdb_path) as conn:
         cursor = conn.cursor()
-        for chrom, pos, rs_id in cursor.execute(
-            f"SELECT CHROM, POS, ID FROM variants WHERE ID IN ({marks})", rs_ids
-        ):
-            data_by_chrs.setdefault(chrom, []).append([pos, rs_id])
+        for lo in range(0, len(rs_ids), chunk):
+            part = rs_ids[lo : lo + chunk]
+            marks = ", ".join("?" for _ in part)
+            for chrom, pos, rs_id in cursor.execute(
+                f"SELECT CHROM, POS, ID FROM variants WHERE ID IN ({marks})",
+                part,
+            ):
+                data_by_chrs.setdefault(chrom, []).append([pos, rs_id])
         cursor.close()
     return data_by_chrs

@@ -214,6 +214,17 @@ class CohortPloidy:
             i = col_of.get(name)
             if i is not None:
                 idx.append(i)
+        if sample_names and not idx:
+            # the selection matched the samples table but NOT this
+            # chromosome's VCF (e.g. -g female against a male-only chrY
+            # store): the reference crashes later with ZeroDivisionError
+            # in calc_ld (htypes_quan == 0); computing on would emit a
+            # table of NaNs presented as a valid answer
+            raise ValueError(
+                f"none of the {len(sample_names)} selected samples are "
+                f"present in chr{chrom_data.chrom}'s store; check "
+                "-g/-e against this chromosome's sample set"
+            )
         self.sample_idx = np.asarray(idx, dtype=np.int64)
         self._cols = {}
 

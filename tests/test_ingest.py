@@ -165,3 +165,61 @@ def test_genotype_rows_selective_unpack(dataset):
     assert cd._G is None  # full matrix never unpacked
     full = cd.genotypes
     np.testing.assert_array_equal(sel, full[[3, 0, 7]])
+
+
+def test_create_src_dict_chunks_large_rsid_sets(tmp_path):
+    """IN-queries chunk below SQLite's bound-parameter cap: a GWAS-scale
+    source table (hundreds of thousands of rsIDs) must resolve instead
+    of raising 'too many SQL variables' (the reference's interpolated
+    SQL had no cap)."""
+    import sqlite3
+
+    from ld_tools_tpu.ingest import create_src_dict
+
+    db = tmp_path / "conv.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE variants (CHROM TEXT, POS INT, ID TEXT)")
+        conn.executemany(
+            "INSERT INTO variants VALUES (?, ?, ?)",
+            (("7", 100 + k, f"rs{k}") for k in range(0, 4000, 2)),
+        )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "big.txt", "w") as fh:
+        for k in range(4000):  # half resolve, half are unknown
+            fh.write(f"rs{k}\n")
+    out = create_src_dict(str(src), "big.txt", 0, str(db))
+    assert len(out["7"]) == 2000
+    assert sorted(r for _, r in out["7"]) == sorted(
+        f"rs{k}" for k in range(0, 4000, 2)
+    )
+
+
+def test_cohort_rejects_bare_strings(tmp_path):
+    import pytest as _pytest
+
+    from ld_tools_tpu.ingest import get_sample_names
+
+    with _pytest.raises(TypeError, match="bare string"):
+        get_sample_names("male", ("ALL",), str(tmp_path / "x.db"))
+
+
+def test_empty_chromosome_cohort_raises(tmp_path):
+    """A cohort matching the samples table but absent from one
+    chromosome's store must fail actionably, not emit NaN tables."""
+    import pytest as _pytest
+
+    from ld_tools_tpu.ingest import HaplotypeStore, synth
+    from ld_tools_tpu.ingest.prep import prep_intgen_data
+
+    d = str(tmp_path / "data")
+    import os as _os
+
+    _os.makedirs(d)
+    synth.generate_dataset(
+        d, n_samples=6, chrom_variant_counts={"9": 5}, seed=3
+    )
+    prep_intgen_data(d)
+    cd = HaplotypeStore(d).chrom("9")
+    with _pytest.raises(ValueError, match="none of the"):
+        cd.cohort_ploidy(["NOT_A_SAMPLE_1", "NOT_A_SAMPLE_2"])
