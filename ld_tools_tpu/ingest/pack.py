@@ -76,6 +76,16 @@ def write_chrom(
     """
     d = chrom_dir(intgen_dir_path, chrom)
     os.makedirs(d, exist_ok=True)
+    # Re-pack invariant: meta.json is the completion marker, so it must
+    # VANISH before any array is rewritten (a crash mid-rewrite with the
+    # OLD meta surviving would present mismatched arrays as complete),
+    # and a stale pgroup sidecar from a previous mixed-ploidy pack must
+    # not outlive an all-diploid re-pack.
+    for stale in ("meta.json", "pgroup.npy"):
+        try:
+            os.remove(os.path.join(d, stale))
+        except OSError:
+            pass
     if ploidy_profiles is not None:
         profiles = np.ascontiguousarray(ploidy_profiles, dtype=np.uint8)
         if profiles.shape[0] == 1 and (profiles == 2).all():
@@ -88,12 +98,23 @@ def write_chrom(
         genotypes = np.ascontiguousarray(genotypes, dtype=np.uint8)
         n_variants, n_haplotypes = genotypes.shape
         packed = np.packbits(genotypes, axis=1)
+    pos_arr = np.asarray(pos, dtype=np.int64)
+    if pos_arr.size and np.any(np.diff(pos_arr) < 0):
+        # every window/row_at query searchsorts positions; the
+        # reference's tabix path REQUIRED a sorted indexed VCF and
+        # failed loudly on unsorted input — so must the store
+        raise ValueError(
+            f"chr{chrom} positions are not ascending; sort the VCF "
+            "(bcftools sort) before ingest"
+        )
     np.save(os.path.join(d, "gt.npy"), packed)
-    np.save(os.path.join(d, "pos.npy"), np.asarray(pos, dtype=np.int64))
-    np.save(os.path.join(d, "rsid.npy"), np.asarray(rsid))
-    np.save(os.path.join(d, "ref.npy"), np.asarray(ref))
-    np.save(os.path.join(d, "alt.npy"), np.asarray(alt))
-    np.save(os.path.join(d, "vt.npy"), np.asarray(vt))
+    np.save(os.path.join(d, "pos.npy"), pos_arr)
+    # dtype=str: an empty chromosome would otherwise write float64
+    # sidecars, breaking the documented unicode contract
+    np.save(os.path.join(d, "rsid.npy"), np.asarray(rsid, dtype=str))
+    np.save(os.path.join(d, "ref.npy"), np.asarray(ref, dtype=str))
+    np.save(os.path.join(d, "alt.npy"), np.asarray(alt, dtype=str))
+    np.save(os.path.join(d, "vt.npy"), np.asarray(vt, dtype=str))
     meta = {
         "chrom": chrom,
         "n_variants": int(n_variants),

@@ -140,9 +140,15 @@ def _parse_genotypes(gt_section: str, n_samples: int):
 def iter_records(path: str, with_genotypes: bool = True):
     """Yield filtered VcfRecords; handles the duplicate-triple run rule.
 
-    Records are yielded with one-record delay so that a consecutive run of
-    identical (CHROM, POS, ID) triples can be suppressed entirely
-    (reference backend/prep_intgen_data.py:163-176).
+    Records are yielded with one-record delay so that a consecutive run
+    of identical (CHROM, POS, ID) triples AMONG THE KEPT RECORDS can be
+    suppressed entirely — the reference applies its rs-ID and
+    MULTI_ALLELIC filters BEFORE the duplicate comparison
+    (backend/prep_intgen_data.py:165-175: ``continue`` precedes the
+    prev-triple check), so a filtered record between two identical
+    triples does not break the run, and a filtered duplicate does not
+    mark one.  This parser and the native scanner implement the same
+    order.
     """
     sample_names = read_sample_names(path)
     n_samples = len(sample_names)

@@ -7,8 +7,10 @@
 // ld_tools_tpu/ingest/vcf.py:
 //   - only IDs of the form rs[0-9]+ are kept;
 //   - records with a MULTI_ALLELIC INFO flag are dropped;
-//   - consecutive runs of identical (CHROM, POS, ID) triples are dropped
-//     entirely (one-record emission delay);
+//   - consecutive runs of identical (CHROM, POS, ID) triples AMONG THE
+//     KEPT records are dropped entirely (one-record emission delay; the
+//     reference filters before its duplicate comparison,
+//     prep_intgen_data.py:165-175, and so do both parsers here);
 //   - genotypes must be diploid single-digit 0/1 alleles; anything else
 //     fails the scan (the Python layer reports the error).
 //

@@ -223,3 +223,36 @@ def test_empty_chromosome_cohort_raises(tmp_path):
     cd = HaplotypeStore(d).chrom("9")
     with _pytest.raises(ValueError, match="none of the"):
         cd.cohort_ploidy(["NOT_A_SAMPLE_1", "NOT_A_SAMPLE_2"])
+
+
+def test_pack_rejects_unsorted_positions(tmp_path):
+    from ld_tools_tpu.ingest import pack
+
+    G = np.zeros((3, 8), dtype=np.int8)
+    with pytest.raises(ValueError, match="ascending"):
+        pack.write_chrom(
+            str(tmp_path), "3", genotypes=G, pos=[100, 50, 200],
+            rsid=["rs1", "rs2", "rs3"], ref=["A"] * 3, alt=["G"] * 3,
+            vt=["SNP"] * 3, samples=["S0", "S1", "S2", "S3"],
+        )
+
+
+def test_repack_clears_stale_meta_and_pgroup(tmp_path):
+    """Re-packing must drop the old completion marker first and never
+    leave a stale mixed-ploidy sidecar behind an all-diploid re-pack."""
+    import os
+
+    from ld_tools_tpu.ingest import pack
+
+    kw = dict(rsid=["rs1", "rs2"], ref=["A"] * 2, alt=["G"] * 2,
+              vt=["SNP"] * 2, samples=["S0", "S1"])
+    G = np.zeros((2, 4), dtype=np.int8)
+    prof = np.array([[2, 1], [2, 2]], dtype=np.uint8)
+    pack.write_chrom(str(tmp_path), "8", genotypes=G, pos=[10, 20],
+                     pgroup=np.array([0, 1], np.int16),
+                     ploidy_profiles=prof, **kw)
+    d = pack.chrom_dir(str(tmp_path), "8")
+    assert os.path.exists(os.path.join(d, "pgroup.npy"))
+    pack.write_chrom(str(tmp_path), "8", genotypes=G, pos=[10, 20], **kw)
+    assert not os.path.exists(os.path.join(d, "pgroup.npy"))
+    assert pack.read_meta(str(tmp_path), "8").get("ploidy_profiles") is None
