@@ -50,11 +50,10 @@ N_LO, N_HI = 4, 20
 
 
 def _int8_peak_tflops() -> float:
-    from ld_tools_tpu.utils.profiling import (
-        CHIP_PEAKS, INT8_MXU_SPEEDUP, detect_chip,
-    )
+    from ld_tools_tpu.utils.profiling import CHIP_PEAKS, detect_chip
 
-    return CHIP_PEAKS[detect_chip()][0] * INT8_MXU_SPEEDUP
+    bf16_tflops, _, int8_speedup = CHIP_PEAKS[detect_chip()]
+    return bf16_tflops * int8_speedup
 
 
 def _log(msg):

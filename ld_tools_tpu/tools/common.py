@@ -69,6 +69,14 @@ class DataConfig:
         intgen_dir_path = os.path.normpath(intgen_dir_path)
         if skip_intgen_data_ver:
             db = os.path.join(intgen_dir_path, "conversion.db")
+            if not os.path.exists(db):
+                # sqlite3.connect would CREATE an empty stray db and
+                # fail later with a cryptic 'no such table'
+                raise FileNotFoundError(
+                    f"{db} does not exist — this data dir has not been "
+                    "prepared; run without -f first (or check the -D "
+                    "path)"
+                )
         else:
             db = prep_intgen_data(intgen_dir_path)
         gends = expand_gend_names(gend_names)
@@ -118,7 +126,9 @@ def map_files(fn, names, max_proc_quan) -> list:
 
 def check_rs_id(rs_id: str, cursor):
     """Validate an input rsID and return (CHROM, POS)
-    (reference ld_lite.py:33-45)."""
+    (reference ld_lite.py:33-45; the UNANCHORED rs\\d+ search is the
+    reference's own regex — 'xrs123' passes it and then fails the DB
+    lookup, same as there)."""
     if re.search(r"rs\d+\b", rs_id) is None:
         raise NotRsIdError(rs_id)
     cursor.execute("SELECT CHROM, POS FROM variants WHERE ID = ?", (rs_id,))
@@ -129,7 +139,12 @@ def check_rs_id(rs_id: str, cursor):
 
 
 def lookup_pair(db_path: str, rs_id_1: str, rs_id_2: str):
-    with sqlite3.connect(db_path) as conn:
+    # contextlib.closing: sqlite3's context manager scopes the
+    # TRANSACTION, not the connection — without it every lookup leaked
+    # a file descriptor until GC
+    import contextlib
+
+    with contextlib.closing(sqlite3.connect(db_path)) as conn:
         cursor = conn.cursor()
         info_1 = check_rs_id(rs_id_1, cursor)
         info_2 = check_rs_id(rs_id_2, cursor)

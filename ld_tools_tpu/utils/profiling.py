@@ -22,16 +22,19 @@ import time
 import jax
 
 
-# Peak numbers per chip generation (dense bf16 matmul TFLOP/s, HBM GB/s).
-# int8 matmuls run the MXU at 2x the bf16 rate on every listed generation.
+# Peak numbers per chip generation: (dense bf16 matmul TFLOP/s, HBM
+# GB/s, int8 speedup over bf16).  v5e/v5p/v6e run int8 matmuls at 2x
+# the bf16 MXU rate; v4 has NO int8 doubling — a flat 2x would halve
+# every v4 roofline fraction and make the bench's speed-of-light
+# plausibility gate reject valid measurements.
 CHIP_PEAKS = {
-    "v5e": (197.0, 819.0),
-    "v5p": (459.0, 2765.0),
-    "v4": (275.0, 1228.0),
-    "v6e": (918.0, 1640.0),
+    "v5e": (197.0, 819.0, 2.0),
+    "v5p": (459.0, 2765.0, 2.0),
+    "v4": (275.0, 1228.0, 1.0),
+    "v6e": (918.0, 1640.0, 2.0),
 }
 DEFAULT_CHIP = "v5e"
-INT8_MXU_SPEEDUP = 2.0
+
 
 
 def detect_chip() -> str:
@@ -93,11 +96,11 @@ class Roofline:
         return 2.0 * self.n_pairs * self.n_haplotypes_padded
 
     def achieved(self, seconds: float) -> dict:
-        peak_tflops, peak_gbps = CHIP_PEAKS.get(
+        peak_tflops, peak_gbps, int8_speedup = CHIP_PEAKS.get(
             self.chip, CHIP_PEAKS[DEFAULT_CHIP]
         )
         if self.int8_mxu:
-            peak_tflops *= INT8_MXU_SPEEDUP
+            peak_tflops *= int8_speedup
         tflops = self.flops / seconds / 1e12
         gbps = self.bytes_moved / seconds / 1e9
         compute_bound_s = self.flops / (peak_tflops * 1e12)
@@ -112,23 +115,6 @@ class Roofline:
             "bound": bound,
             "speed_of_light_s": light,
         }
-
-
-def device_seconds(run_reps, reps: int = 6) -> float:
-    """Per-iteration device time via loop differencing.
-
-    ``run_reps(n)`` must execute the measured computation n times inside
-    one jitted program (data-dependent chaining, so iterations cannot be
-    CSE'd or memoized) and block until ready.
-    """
-    run_reps(1)  # warm both compiled variants
-    run_reps(reps)
-    t0 = time.perf_counter()
-    run_reps(1)
-    t1 = time.perf_counter()
-    run_reps(reps)
-    t2 = time.perf_counter()
-    return max((t2 - t1) - (t1 - t0), 1e-9) / (reps - 1)
 
 
 def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
@@ -169,4 +155,19 @@ def honest_sweep_seconds(make_many, datasets, *, n_lo: int = 4,
             compiled(datasets, seed).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         times[n] = best
-    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo), times
+    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    if dt <= 0:
+        # relay-bandwidth swings or memoized seeds can make the small
+        # program time above the big one; a negative per-sweep time must
+        # never masquerade as a measurement (callers would print
+        # impossible rates) — NaN is unambiguous and fails any
+        # plausibility gate
+        import warnings
+
+        warnings.warn(
+            f"non-positive differenced sweep time ({dt:.3g}s); "
+            "measurement rejected — rerun with a fresh seed_base",
+            stacklevel=2,
+        )
+        return float("nan"), times
+    return dt, times

@@ -49,8 +49,8 @@ def main():
 
     v = args.v
     pairs = v * (v + 1) / 2
-    peak_bf16, _ = CHIP_PEAKS["v5e"]
-    peak_int8 = peak_bf16 * 2
+    peak_bf16, _, int8_speedup = CHIP_PEAKS["v5e"]
+    peak_int8 = peak_bf16 * int8_speedup
     hp8_pad = 640  # 5,008 haplotypes -> 626 bytes -> 640
     rng = np.random.default_rng(0)
 
