@@ -1168,8 +1168,14 @@ def stream_threshold_scan(
 
     # exact scans carry ONLY the integer counts home (the host refinish
     # derives r2/dp/sentinels from them), fast scans only the f32 values:
-    # each hit costs 12/16 bytes on the wire instead of 20
+    # each hit costs 12/16 bytes on the wire instead of 20.  The empty-
+    # buffer dtype MUST follow _tile_ld's int16 downcast rule: in a
+    # cooperative scan a hit-less process allgathers its empty arrays
+    # against other processes' real ones, and a dtype mismatch breaks
+    # the collective (gloo 'received data size doesn't match').
     want = ("cab",) if exact else ("r2", "dp")
+    h_bits = g_dev.shape[1] * (8 if packed else 1)
+    cab_dtype = np.int16 if h_bits < 32768 else np.int32
 
     # Optional block-level resume (SURVEY.md §5 checkpoint row): each
     # completed batch persists its hits keyed by a config fingerprint, so
@@ -1400,7 +1406,7 @@ def stream_threshold_scan(
             for name in want:
                 cat[name] = np.zeros(
                     (0,),
-                    dtype=np.int32 if name == "cab" else np.float32,
+                    dtype=cab_dtype if name == "cab" else np.float32,
                 )
         if ckpt is not None:
             import os
@@ -1423,7 +1429,7 @@ def stream_threshold_scan(
                 "j": np.zeros((0,), dtype=np.int64)}
         for name in want:
             arrs[name] = np.zeros(
-                (0,), dtype=np.int32 if name == "cab" else np.float32
+                (0,), dtype=cab_dtype if name == "cab" else np.float32
             )
     if n_proc > 1:
         # every process joins the gather (a collective), hit-less ones

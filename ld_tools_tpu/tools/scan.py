@@ -53,13 +53,15 @@ class ScanConfig:
         )
 
     def resolve_use_pallas(self) -> bool:
-        """auto -> the fused Pallas band kernel on TPU, XLA on CPU
-        (Pallas outside interpret mode needs real TPU hardware)."""
+        """auto -> the fused Pallas band kernel on TPU, XLA elsewhere
+        (the kernels are Mosaic-TPU-only; 'not cpu' would have selected
+        them on GPU backends too and crashed at lowering)."""
         if self.use_pallas is not None:
             return bool(self.use_pallas)
         import jax
 
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
+
 
     def mesh(self):
         """1-D tile mesh when more than one device is requested/present."""
@@ -142,7 +144,9 @@ def _scan_mixed_chromosome(data, cd, cp, config: ScanConfig,
             max_dist=config.max_dist,
             use_pallas=config.resolve_use_pallas(),
             exact=True,
-            checkpoint_dir=None,
+            # per-segment checkpoints (fingerprinted by segment content);
+            # the cross-segment rectangles recompute on resume
+            checkpoint_dir=config.checkpoint_dir,
             mesh=config.mesh(),
             multiprocess=multiprocess,
             resident_key=_resident_key(
@@ -160,56 +164,95 @@ def _scan_mixed_chromosome(data, cd, cp, config: ScanConfig,
     # host-side unpackbits repacking) while block k's exact f64 finish +
     # threshold filter run on the host — jax dispatch is async, so the
     # device is never idle between rectangles (VERDICT r4 weak #8).
+    # Loop order is bi -> row block -> earlier segment: each row block
+    # unpacks ONCE (not once per earlier segment), and each earlier
+    # segment's packed cohort matrix is built once and cached.  Under a
+    # cooperative multiprocess scan the rectangle jobs stride across
+    # processes (the segment scans above already split their tiles) and
+    # the strided hit parts meet in one allgather.
     block = 2048
+    n_proc = 1
+    proc_idx = 0
+    if multiprocess:
+        import jax
+
+        n_proc = jax.process_count()
+        proc_idx = jax.process_index()
+    rect_parts = []
+    pos32 = pos.astype(np.int32) if config.max_dist is not None else None
+
+    cj_cache = {}
+
+    def seg_packed(ai, gid_j):
+        if ai not in cj_cache:
+            A0, A1 = segs[ai]
+            cj_cache[ai] = pack.pack_columns(
+                np.ascontiguousarray(cd.packed[A0:A1]),
+                cp.cols_for(gid_j), cd.n_haplotypes,
+            )
+        return cj_cache[ai]
 
     def rect_jobs():
+        job_idx = 0
         for bi in range(1, len(segs)):
-            gid_i = int(pgroup[segs[bi][0]])
+            B0, B1 = segs[bi]
+            gid_i = int(pgroup[B0])
             n_i = cp.n_alleles(gid_i)
+            # distance-clipped bounds per earlier segment (positions
+            # ascend): j rows must reach within max_dist of the first i
+            # row, and i rows within max_dist of the last j row
+            ai_infos = []
+            b1_max = B0
             for ai in range(bi):
-                b0, b1 = segs[bi]
-                a0, a1 = segs[ai]
-                gid_j = int(pgroup[a0])
+                A0, A1 = segs[ai]
+                gid_j = int(pgroup[A0])
                 n_j = cp.n_alleles(gid_j)
+                a0, a1, b1 = A0, A1, B1
                 if config.max_dist is not None:
-                    # j rows must reach within max_dist of the first i
-                    # row, and i rows within max_dist of the last j row
-                    a0 = a0 + int(np.searchsorted(
-                        pos[a0:a1], pos[b0] - config.max_dist
+                    a0 = A0 + int(np.searchsorted(
+                        pos[A0:A1], pos[B0] - config.max_dist
                     ))
-                    b1 = b0 + int(np.searchsorted(
-                        pos[b0:b1], pos[a1 - 1] + config.max_dist,
+                    b1 = B0 + int(np.searchsorted(
+                        pos[B0:B1], pos[A1 - 1] + config.max_dist,
                         side="right"
                     ))
-                    if a0 >= a1 or b0 >= b1:
+                    if a0 >= a1 or B0 >= b1:
                         continue
-                m = min(n_i, n_j)
-                Cj_full = pack.pack_columns(
-                    np.ascontiguousarray(cd.packed[a0:a1]),
-                    cp.cols_for(gid_j), cd.n_haplotypes,
-                )
-                for r0 in range(b0, b1, block):
-                    r1 = min(r0 + block, b1)
-                    Ci = np.unpackbits(
-                        pack.pack_columns(
-                            np.ascontiguousarray(cd.packed[r0:r1]),
-                            cp.cols_for(gid_i), cd.n_haplotypes,
-                        ), axis=1, count=n_i,
-                    ).astype(np.int8)
-                    c1_rows = Ci.sum(axis=1, dtype=np.int64)
+                ai_infos.append((ai, gid_j, n_j, a0, a1, b1, A0))
+                b1_max = max(b1_max, b1)
+            for r0 in range(B0, b1_max, block):
+                r1_max = min(r0 + block, b1_max)
+                Ci = np.unpackbits(
+                    pack.pack_columns(
+                        np.ascontiguousarray(cd.packed[r0:r1_max]),
+                        cp.cols_for(gid_i), cd.n_haplotypes,
+                    ), axis=1, count=n_i,
+                ).astype(np.int8)
+                c1_rows_full = Ci.sum(axis=1, dtype=np.int64)
+                for (ai, gid_j, n_j, a0, a1, b1, A0) in ai_infos:
+                    if r0 >= b1:
+                        continue
+                    r1 = min(r1_max, b1)
+                    m = min(n_i, n_j)
+                    Cj_full = seg_packed(ai, gid_j)
                     for c0 in range(a0, a1, 4 * block):
                         c1_stop = min(c0 + 4 * block, a1)
-                        if config.max_dist is not None:
-                            if pos[c0] > pos[r1 - 1] + config.max_dist:
-                                break
-                            if pos[c1_stop - 1] < pos[r0] - config.max_dist:
-                                continue
+                        if config.max_dist is not None and (
+                            pos[c1_stop - 1] < pos[r0] - config.max_dist
+                        ):
+                            continue
+                        job_idx += 1
+                        if (job_idx - 1) % n_proc != proc_idx:
+                            continue  # another process owns this one
                         Cj = np.unpackbits(
-                            Cj_full[c0 - a0:c1_stop - a0], axis=1,
+                            Cj_full[c0 - A0:c1_stop - A0], axis=1,
                             count=n_j,
                         ).astype(np.int8)
-                        fin = pair_counts_async(Ci[:, :m], Cj[:, :m])
-                        yield (r0, r1, c0, c1_stop, n_i, n_j, m, c1_rows,
+                        fin = pair_counts_async(
+                            Ci[: r1 - r0, :m], Cj[:, :m]
+                        )
+                        yield (r0, r1, c0, c1_stop, n_i, n_j, m,
+                               c1_rows_full[: r1 - r0],
                                Cj.sum(axis=1, dtype=np.int64), fin)
 
     def finish_rect(job):
@@ -232,12 +275,15 @@ def _scan_mixed_chromosome(data, cd, cp, config: ScanConfig,
         rounded[int_zero] = 0.0
         keep = rounded >= config.ld_low_thres
         if config.max_dist is not None:
-            dist = pos[r0:r1, None] - pos[None, c0:c1_stop]
-            keep &= np.abs(dist) <= config.max_dist
+            # int32 + in-place abs: the int64 broadcast difference alone
+            # was ~270 MB of transients per rectangle
+            dist = pos32[r0:r1, None] - pos32[None, c0:c1_stop]
+            np.abs(dist, out=dist)
+            keep &= dist <= config.max_dist
         ii, jj = np.nonzero(keep)
         if ii.size == 0:
             return
-        parts.append((
+        rect_parts.append((
             (ii + r0).astype(np.int64),
             (jj + c0).astype(np.int64),
             ex.r_square[keep], ex.d_prime[keep],
@@ -272,6 +318,30 @@ def _scan_mixed_chromosome(data, cd, cp, config: ScanConfig,
             rect_stats["rects"], rect_stats["dispatch_s"],
             rect_stats["finish_s"],
         )
+
+    if n_proc > 1:
+        # merge the strided rectangle hits (every process joins the
+        # collective, hit-less ones included); the segment-scan parts
+        # above are already identical on every process
+        from ld_tools_tpu.ops.ld_stream import _allgather_hits
+
+        names = ("i", "j", "r2", "dp", "r2_iz", "dp_iz")
+        if rect_parts:
+            arrs = {
+                name: np.concatenate([p[k] for p in rect_parts])
+                for k, name in enumerate(names)
+            }
+        else:
+            arrs = {
+                "i": np.zeros(0, np.int64), "j": np.zeros(0, np.int64),
+                "r2": np.zeros(0), "dp": np.zeros(0),
+                "r2_iz": np.zeros(0, bool), "dp_iz": np.zeros(0, bool),
+            }
+        g = _allgather_hits(arrs, ("r2", "dp", "r2_iz", "dp_iz"))
+        parts.append((g["i"], g["j"], g["r2"], g["dp"], g["r2_iz"],
+                      g["dp_iz"]))
+    else:
+        parts.extend(rect_parts)
 
     if parts:
         i = np.concatenate([p[0] for p in parts])
@@ -418,6 +488,12 @@ def run(args) -> int:
     import jax
 
     from ld_tools_tpu.parallel.batch import chromosomes_for_this_process
+    from ld_tools_tpu.utils.distributed import initialize_if_needed
+
+    # join the jax.distributed job when the standard env vars are set —
+    # without this the documented multi-host modes below could never
+    # engage from the CLI (process_count() stays 1 on every host)
+    initialize_if_needed()
 
     # pod-scale layouts: with more chromosomes than processes, each
     # process takes whole chromosomes (share-nothing, reference

@@ -41,7 +41,25 @@ def initialize_if_needed(
     if process_id is None:
         env = os.environ.get("JAX_PROCESS_ID")
         process_id = int(env) if env else None
-    if not coordinator_address or num_processes is None or process_id is None:
+    provided = {
+        "JAX_COORDINATOR_ADDRESS": coordinator_address,
+        "JAX_NUM_PROCESSES": num_processes,
+        "JAX_PROCESS_ID": process_id,
+    }
+    missing = [k for k, v in provided.items() if v in (None, "")]
+    if missing:
+        if len(missing) < len(provided):
+            # SOME coordination vars set clearly signals multi-host
+            # intent; silently degrading to N independent full runs
+            # (each host doing ALL the work) must not look like a
+            # deliberate single-host run
+            log.warning(
+                "partial jax.distributed configuration: %s missing — "
+                "running single-process; set all three (or none) of "
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                "JAX_PROCESS_ID",
+                ", ".join(missing),
+            )
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

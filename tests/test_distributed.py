@@ -302,3 +302,79 @@ def test_two_process_cooperative_scan_kill_and_resume(tmp_path):
     assert {r["pid"] for r in results} == {0, 1}
     assert all(r["match"] for r in results)
     assert results[0]["hits"] == results[1]["hits"] > 0
+
+
+_MIXED_WORKER = r"""
+import json, os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, os.environ["TPU_LD_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from ld_tools_tpu.utils.distributed import initialize_if_needed
+
+assert initialize_if_needed()
+from ld_tools_tpu.tools.common import DataConfig
+from ld_tools_tpu.tools.scan import ScanConfig, scan_chromosome
+
+data = DataConfig.resolve(os.environ["DATA_DIR"], True, "both", "all")
+out = os.path.join(os.environ["OUT_DIR"], f"coop")
+cfg = ScanConfig(chroms=("X",), trg_dir_path=out, ld_measure="r_square",
+                 ld_low_thres=0.2, max_dist=None, use_pallas=False)
+path = scan_chromosome(data, cfg, "X", multiprocess=True,
+                       write=jax.process_index() == 0)
+solo = None
+if jax.process_index() == 0:
+    solo_cfg = ScanConfig(chroms=("X",),
+                          trg_dir_path=os.path.join(os.environ["OUT_DIR"],
+                                                    "solo"),
+                          ld_measure="r_square", ld_low_thres=0.2,
+                          max_dist=None, use_pallas=False)
+    solo = scan_chromosome(data, solo_cfg, "X")
+print(json.dumps({"pid": jax.process_index(), "path": path,
+                  "solo": solo}), flush=True)
+"""
+
+
+def test_two_process_cooperative_mixed_chromosome_scan(tmp_path):
+    """Cooperative scan of a MIXED-ploidy chromosome: segment tiles split
+    inside stream_threshold_scan AND the cross-segment rectangles stride
+    across processes, meeting in an allgather — process 0's output must
+    byte-match a solo scan."""
+    import numpy as np
+
+    import sys as _sys
+
+    _sys.path.insert(0, _REPO)
+    from ld_tools_tpu.ingest import synth
+    from ld_tools_tpu.ingest.prep import prep_intgen_data
+
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.default_rng(77)
+    panel = synth.make_panel(24, rng)
+    panel[0] = (panel[0][0], panel[0][1], panel[0][2], "male")
+    panel[1] = (panel[1][0], panel[1][1], panel[1][2], "female")
+    synth.write_panel(str(d / "samples.txt"), panel)
+    names = [r[0] for r in panel]
+    genders = [r[3] for r in panel]
+    GX, hapX = synth.make_chrx_layout(rng, 36, genders,
+                                      par_bounds=(0.25, 0.75))
+    synth.write_vcf(str(d / "X.vcf.gz"), "X", names, GX,
+                    haploid_masks=hapX)
+    prep_intgen_data(str(d))
+
+    worker = tmp_path / "mixed_worker.py"
+    worker.write_text(_MIXED_WORKER)
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    outs = _launch_pair(worker, {"DATA_DIR": str(d),
+                                 "OUT_DIR": str(out_dir)})
+    results = []
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed:\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    r0 = next(r for r in results if r["pid"] == 0)
+    coop_bytes = open(r0["path"], "rb").read()
+    solo_bytes = open(r0["solo"], "rb").read()
+    assert coop_bytes == solo_bytes and len(coop_bytes) > 100
