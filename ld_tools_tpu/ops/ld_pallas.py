@@ -208,8 +208,10 @@ def probe_vmem_budgets(write_cache: bool = True) -> dict:
     import jax
 
     out = {}
+    validated = {}
     for name, heavy in (("heavy", True), ("light", False)):
         budget = _DEFAULT_VMEM_BUDGETS[name]
+        compiled_ok = False
         while budget >= 1024 * 128:
             h_pad = max(128, budget // 1024 // 128 * 128)
             try:
@@ -221,12 +223,14 @@ def probe_vmem_budgets(write_cache: bool = True) -> dict:
                     want_dprime=heavy,
                 )
                 jax.block_until_ready(r2)
+                compiled_ok = True
                 break
             except Exception:
                 budget //= 2
             finally:
                 os.environ.pop("TPU_LD_INT8_VMEM_BUDGET", None)
         out[name] = budget
+        validated[name] = compiled_ok
     if write_cache:
         path = _vmem_cache_path()
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -235,7 +239,14 @@ def probe_vmem_budgets(write_cache: bool = True) -> dict:
                 all_cached = json.load(fh)
         except (OSError, ValueError):
             all_cached = {}
-        all_cached[_vmem_budget_key()] = out
+        # MERGE into the per-device entry (a plain replace used to wipe
+        # the count_cap the other probe stored under the same key), and
+        # never persist a budget NO size validated — a transient backend
+        # failure would otherwise poison every later run's k-chunking
+        entry = all_cached.setdefault(_vmem_budget_key(), {})
+        for name, budget in out.items():
+            if validated[name]:
+                entry[name] = budget
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(all_cached, fh, indent=1)

@@ -64,15 +64,25 @@ def verify_chrom(calc_ld, d, db, chrom, G, hap, names, rs_map, work):
     rsids = list(rs_map)
     gl = {r: gl_rows[cd.row_of(r)] for r in rsids}
 
-    # --- ld_lite on a handful of pairs (incl. cross-region on chrX)
+    # --- ld_lite on a handful of pairs (incl. cross-region on chrX).
+    # Values are EXTRACTED from the rendered sub-table cells (regex on
+    # the 'r2 │ <val>' rows) and compared as exact strings — a substring
+    # check was vacuous for the int-0 sentinel ('0' matches any digit
+    # in a position column) and false-passed on shared prefixes.
+    import re as _re
+
     for a, b in ((rsids[0], rsids[-1]), (rsids[1], rsids[len(rsids) // 2])):
         table = lite.run(types.SimpleNamespace(
             rs_id_1=a, rs_id_2=b, intgen_dir_path=d,
             skip_intgen_data_ver=True, gend_names="both", pop_names="all",
         ))
         ref = calc_ld(gl[a], gl[b])
-        check(str(ref["r_square"]) in table, f"lite r2 {chrom} {a} {b}")
-        check(str(ref["d_prime"]) in table, f"lite D' {chrom} {a} {b}")
+        m_r2 = _re.search(r"r2\s*│\s*(\S+)", table)
+        m_dp = _re.search(r"D'\s*│\s*(\S+)", table)
+        check(m_r2 is not None and m_r2.group(1) == str(ref["r_square"]),
+              f"lite r2 {chrom} {a} {b}")
+        check(m_dp is not None and m_dp.group(1) == str(ref["d_prime"]),
+              f"lite D' {chrom} {a} {b}")
 
     src = os.path.join(work, f"src_{chrom}")
     os.makedirs(src, exist_ok=True)
@@ -94,13 +104,16 @@ def verify_chrom(calc_ld, d, db, chrom, G, hap, names, rs_map, work):
     chr_dir = os.path.join(trg, "q_in_LD", chrom)
     for q in rsids:
         path = os.path.join(chr_dir, f"{q}_chr{chrom}_r_0.3.tsv")
+        all_refs = {o: calc_ld(gl[q], gl[o]) for o in rsids if o != q}
         expected = {
-            o: calc_ld(gl[q], gl[o])
-            for o in rsids
-            if o != q and calc_ld(gl[q], gl[o])["r_square"] >= 0.3
+            o: ref for o, ref in all_refs.items()
+            if ref["r_square"] >= 0.3
         }
         if not expected:
             check(not os.path.exists(path), f"area no-file {chrom} {q}")
+            continue
+        if not os.path.exists(path):
+            check(False, f"area file missing {chrom} {q}")
             continue
         with open(path) as fh:
             lines = fh.read().splitlines()
@@ -123,6 +136,9 @@ def verify_chrom(calc_ld, d, db, chrom, G, hap, names, rs_map, work):
         square_shape=False, dont_disp_footer=True,
     )))
     path = os.path.join(trg, "q_LD_matr", f"q_chr{chrom}_r.tsv")
+    if not os.path.exists(path):
+        check(False, f"triangle file missing {chrom}")
+        return
     with open(path) as fh:
         lines = fh.read().splitlines()
     order = lines[2].split("\t")[2:]
@@ -142,6 +158,9 @@ def verify_chrom(calc_ld, d, db, chrom, G, hap, names, rs_map, work):
         checkpoint_dir=None, devices=None,
     ))
     path = os.path.join(trg, f"ld_scan_chr{chrom}_r_0.25.tsv")
+    if not os.path.exists(path):
+        check(False, f"scan file missing {chrom}")
+        return
     rows = [ln.split("\t") for ln in open(path) if not ln.startswith("#")]
     expected_pairs = set()
     by_pos = sorted(rsids, key=lambda r: rs_map[r])
@@ -153,6 +172,9 @@ def verify_chrom(calc_ld, d, db, chrom, G, hap, names, rs_map, work):
     check({(r[1], r[3]) for r in rows} == expected_pairs,
           f"scan hit set {chrom}")
     for r in rows:
+        if r[1] not in gl or r[3] not in gl:
+            check(False, f"scan unexpected rsID {r[1]}/{r[3]}")
+            continue
         ref = calc_ld(gl[r[1]], gl[r[3]])
         check(float(r[5]) == ref["r_square"], f"scan r2 {r[1]} {r[3]}")
         check(float(r[6]) == ref["d_prime"], f"scan D' {r[1]} {r[3]}")
