@@ -76,6 +76,9 @@ class AreaResultWriter:
             except OSError:
                 pass
             return False
+        if self.file_type not in ("rsids", "tsv", "json"):
+            # validate BEFORE open('w') truncates a pre-existing result
+            raise ValueError(f"unknown target file type {self.file_type}")
         header_line = ucsc_header_line(self.meta_keys, self.meta_vals)
         with open(self.path, "w") as fh:
             if self.file_type == "rsids":
@@ -102,6 +105,21 @@ class AreaResultWriter:
         return True
 
 
+def write_triangle_header(fh, ld_measure, chrom, pop_names, gend_names,
+                          rs_ids_srtd, poss_str) -> None:
+    """The triangle TSV's ##General + rsIDs + Positions prologue
+    (reference ld_triangle.py:344-353) — ONE home for the byte contract,
+    shared by this module's square writer and the streamed table writer
+    (tools/triangle.py), which must never diverge."""
+    tab = "\t"
+    fh.write(
+        f"##General\tinfo:\t{ld_measure}\tchr{chrom}\t"
+        f"{tab.join(pop_names)}\t{tab.join(gend_names)}\n\n"
+    )
+    fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
+    fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
+
+
 def write_triangle_tsv(
     path: str,
     ld_measure: str,
@@ -113,15 +131,10 @@ def write_triangle_tsv(
     ld_two_dim,
 ) -> None:
     """Triangle matrix TSV: reference ld_triangle.py:344-360 layout."""
-    tab = "\t"
     poss_str = [str(p) for p in poss_srtd]
     with open(path, "w") as fh:
-        fh.write(
-            f"##General\tinfo:\t{ld_measure}\tchr{chrom}\t"
-            f"{tab.join(pop_names)}\t{tab.join(gend_names)}\n\n"
-        )
-        fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
-        fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
+        write_triangle_header(fh, ld_measure, chrom, pop_names,
+                              gend_names, rs_ids_srtd, poss_str)
         for i, rsid in enumerate(rs_ids_srtd):
             line = "\t".join(map(str, ld_two_dim[i]))
             fh.write(f"{rsid}\t{poss_str[i]}\t{line}\n")

@@ -440,14 +440,13 @@ def _write_table_streamed(
     _t0 = _time.perf_counter()
     pending = dispatch(0, min(row_block, n))
     ps["dispatch_s"] += _time.perf_counter() - _t0
+    from ld_tools_tpu.io.writers import write_triangle_header
+
     with open(path, "w") as fh:
-        fh.write(
-            f"##General\tinfo:\t{cfg.ld_measure}\tchr{chrom}\t"
-            f"{tab.join(self.data.pop_names)}\t"
-            f"{tab.join(self.data.gend_names)}\n\n"
+        write_triangle_header(
+            fh, cfg.ld_measure, chrom, self.data.pop_names,
+            self.data.gend_names, rs_ids_srtd, poss_str,
         )
-        fh.write("rsIDs\t\t" + "\t".join(rs_ids_srtd) + "\n")
-        fh.write("\tPositions\t" + "\t".join(poss_str) + "\n")
         for bi, r0 in enumerate(starts):
             r1 = min(r0 + row_block, n)
             # columns beyond the block's last row are all '0' (strict

@@ -162,13 +162,15 @@ def config3():
         record(label, dt)
 
 
-def config4():
-    import jax
-
-    from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
-
-    rng = np.random.default_rng(4)
-    V, H = 102400, 5008
+def _scan_dataset(V, pos_span, seed):
+    """One synthetic correlated chromosome for the scan configs (shared
+    by 4 and 4c so their data distributions can never diverge): blocked
+    correlated rows + 2% flip noise, returned as the BITPACKED store
+    bytes like the real ld_scan tool feeds (the host->device transfer is
+    V/8 bytes per row instead of V; the device inflates to dense int8
+    once under resident='auto')."""
+    H = 5008
+    rng = np.random.default_rng(seed)
     blk = 64
     base = (
         rng.random((V // blk, H))
@@ -176,28 +178,48 @@ def config4():
     ).astype(np.int8)
     G = np.repeat(base, blk, axis=0)
     G = np.where(rng.random(G.shape) < 0.02, 1 - G, G).astype(np.int8)
-    pos = np.sort(rng.choice(46_000_000, size=V, replace=False))
+    pos = np.sort(rng.choice(pos_span, size=V, replace=False)).astype(
+        np.int64
+    )
+    return np.packbits(G.astype(np.uint8), axis=1), H, pos
+
+
+def _jittered_thres(base: float, run_idx: int) -> float:
+    """Tiny per-run threshold offset: the relay memoizes byte-identical
+    executions, so a '_warm' rerun must never replay the exact cold
+    inputs (bench.py's methodology; one f32 ulp at 0.8 changes the
+    scalar operand without measurably moving the hit set)."""
+    return base + run_idx * 2e-7
+
+
+def config4():
+    import jax
+
+    from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
+
+    V = 102400
+    gp, H, pos = _scan_dataset(V, 46_000_000, seed=4)
     pairs = V * (V - 1) / 2
     use_pallas = jax.default_backend() not in ("cpu",)  # the tool's auto
-    # feed the BITPACKED store bytes like the real ld_scan tool does: the
-    # host->device transfer is 64 MB instead of 0.5 GB (device inflates
-    # to dense int8 once under resident="auto")
-    gp = np.packbits(G.astype(np.uint8), axis=1)
     # two iterations per mode: the first may pay one-time remote program
     # compiles (persistently cached afterwards); the warm number is the
     # steady-state tool rate
+    run_no = 0
     for tag, exact in (("4_chr21_scan_100k", False),
                        ("4b_chr21_scan_100k_exact", True)):
         for warm in (False, True):
             t0 = time.time()
             hits = stream_threshold_scan(
-                G_packed=gp, n_haplotypes=H, pos=pos.astype(np.int64),
-                measure="r_square", thres=0.8, use_pallas=use_pallas,
+                G_packed=gp, n_haplotypes=H, pos=pos,
+                measure="r_square",
+                thres=_jittered_thres(0.8, run_no),
+                use_pallas=use_pallas,
                 exact=exact,
                 # resident cache, like the ld_scan tool: warm scans (and
                 # the exact rerun of the same matrix) skip the upload
                 resident_key=("bench4", V, H),
             )
+            run_no += 1
             dt = time.time() - t0
             gpps = pairs / dt / 1e9
             label = tag + ("_warm" if warm else "")
@@ -303,21 +325,25 @@ def config6():
         record(label, dt, mcells_per_s=round(V * V / dt / 1e6, 1),
                tsv_mb=round(size_mb, 1), phases=phases)
 
-    # 2,000-variant heatmap (full per-cell hovertext) — the presentation
-    # path; the reference's practical cap is ~500 (README.md:74).
-    # Cold + warm with a device/hover phase split: r04 recorded a single
-    # un-phased 24.8 s row here vs r03's 7.6 s — the split attributes
-    # relay program-load cost vs host hover formatting (VERDICT r4 #3).
+    # 2,000-variant per-cell hovertext MICROBENCH: the real tool routes
+    # >500 variants to the columnar/overview payloads (config 6c), so
+    # this row measures the per-cell formatting machinery itself at
+    # scale, not a reachable tool configuration — kept because its r03
+    # vs r04 3x swing needed attribution (device program load vs host
+    # formatting; VERDICT r4 #3).  Cold + warm with the phase split.
     from ld_tools_tpu.ops.engine import exact_all_pairs
 
     V2 = 2000
     G2 = G[:V2]
+    _ANN6 = np.asarray(["A"] * V2)  # built once: the mock must not
+                                    # inflate the timed formatting phase
 
     class _CD:
         def annotation(self, name):
-            return np.asarray(["A"] * V2)
+            return _ANN6
 
-    for label in ("6b_heatmap_hover_2000", "6b_heatmap_hover_2000_warm"):
+    for label in ("6b_hover_percell_2000_microbench",
+                  "6b_hover_percell_2000_microbench_warm"):
         t0 = time.time()
         exact = exact_all_pairs(G2)
         t_dev = time.time() - t0
@@ -343,26 +369,17 @@ def config4c():
 
     from ld_tools_tpu.ops.ld_stream import stream_threshold_scan
 
-    rng = np.random.default_rng(42)
-    V, H = 204_800, 5008
-    blk = 64
-    base = (
-        rng.random((V // blk, H))
-        < rng.uniform(0.05, 0.95, size=(V // blk, 1))
-    ).astype(np.int8)
-    G = np.repeat(base, blk, axis=0)
-    G = np.where(rng.random(G.shape) < 0.02, 1 - G, G).astype(np.int8)
-    pos = np.sort(
-        rng.choice(240_000_000, size=V, replace=False)
-    ).astype(np.int64)
-    gp = np.packbits(G.astype(np.uint8), axis=1)
+    V = 204_800
+    gp, H, pos = _scan_dataset(V, 240_000_000, seed=42)
     pairs = V * (V - 1) / 2
     use_pallas = jax.default_backend() not in ("cpu",)
-    for warm in (False, True):
+    for run_no, warm in enumerate((False, True)):
         t0 = time.time()
         hits = stream_threshold_scan(
             G_packed=gp, n_haplotypes=H, pos=pos,
-            measure="r_square", thres=0.8, use_pallas=use_pallas,
+            measure="r_square",
+            thres=_jittered_thres(0.8, run_no),
+            use_pallas=use_pallas,
             exact=True,
             resident_key=("bench4c", V, H),
         )
@@ -492,6 +509,13 @@ def config0gb():
                variants=res["v"],
                peak_rss_mb=round(res["rss_mb"], 1),
                packed_mb=round(res["packed_mb"], 1))
+    if not reuse:
+        # generated into a throwaway tempdir: remove it (repeated rounds
+        # used to accumulate 1 GiB per invocation in /tmp); pin a path
+        # via TPU_LD_GB_FIXTURE to keep fixtures across runs
+        import shutil
+
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 def config_wg():
@@ -623,7 +647,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--configs", default="0,1,2,3,4,5,6,6c",
-        help="comma list of config numbers to run (0gb opt-in)",
+        help="comma list of configs to run (opt-in extras: 4c chr2-scale "
+             "scan, 0gb GB-scale ingest, wg whole-genome prep)",
     )
     parser.add_argument("--out", default=None,
                         help="write the JSON artifact here")
@@ -659,7 +684,12 @@ def main():
              "3": config3, "4": config4, "4c": config4c, "5": config5,
              "6": config6, "6c": config6c}
     for c in args.configs.split(","):
-        table[c.strip()]()
+        key = c.strip()
+        if key not in table:
+            parser.error(
+                f"unknown config {key!r}; valid: {', '.join(table)}"
+            )
+        table[key]()
     if args.out:
         with open(args.out, "w") as fh:
             json.dump({"meta": meta, "results": RESULTS}, fh, indent=1)
