@@ -73,6 +73,20 @@ see README.md for documentation
 """
 
 
+def _title_text(cfg, data, chrom) -> str:
+    """Heatmap title block (reference ld_triangle.py:310-316) — one
+    home for the layout, shared by both heatmap builders (a free
+    function: the bench suite drives the builders with a bare-namespace
+    runner stand-in)."""
+    return (
+        f"\ndefines color: {cfg.ld_measure} ░\n"
+        f"LD threshold: {cfg.ld_low_thres} ░\n"
+        f"chromosome: {chrom} ░\n"
+        f"genders: {', '.join(data.gend_names)} ░\n"
+        f"populations: {', '.join(data.pop_names)}\n"
+    )
+
+
 class TriangleRunner:
     """Per-source-file matrix builder (the reference's PrepSingleProc
     analogue, ld_triangle.py:3-50)."""
@@ -81,6 +95,8 @@ class TriangleRunner:
         self.data = data
         self.config = config
         self._store = data.store()
+
+
 
     def process_file(self, src_file_name: str) -> int:
         """Build matrices for one source table; returns matrix count."""
@@ -99,11 +115,14 @@ class TriangleRunner:
         for chrom in data_by_chrs:
             if len(data_by_chrs[chrom]) < 2:
                 continue
-            makedirs(trg_dir_path)
-            self._build_matrix(
+            # _build_matrix reports whether anything was written (it
+            # bails when < 2 rsIDs resolve in the packed store) and
+            # creates the target dir itself — no overstated counts, no
+            # empty directories left behind
+            if self._build_matrix(
                 chrom, data_by_chrs[chrom], src_file_base, trg_dir_path
-            )
-            built += 1
+            ):
+                built += 1
         return built
 
     def _build_matrix(self, chrom, var_rows, src_file_base, trg_dir_path):
@@ -127,7 +146,8 @@ class TriangleRunner:
             rs_ids_srtd.append(q_rsid)
         vars_quan = len(rows)
         if vars_quan < 2:
-            return
+            return False
+        makedirs(trg_dir_path)
 
         cp = cd.cohort_ploidy(self.data.sample_names)
         row_groups = cp.groups_of(rows)
@@ -150,7 +170,7 @@ class TriangleRunner:
                 G, chrom, rs_ids_srtd, poss_srtd, src_file_base,
                 trg_dir_path, mixed_ctx=mixed_ctx,
             )
-            return
+            return True
 
         if vars_quan > heatmap_io._HOVER_CELLS_MAX:
             # Columnar hover payload: per-cell strings are O(n^2) x ~200
@@ -159,16 +179,16 @@ class TriangleRunner:
             # data ships as int16 triangle buffers + O(n) variant arrays,
             # assembled client-side (io/heatmap.py).  Streams row blocks,
             # never materializing the square f64 matrices.
+            # '-o both' writes the TSV inside the SAME streamed block
+            # loop (the rounded measure blocks are already in hand) —
+            # a separate table pass would re-dispatch every device
+            # count block and double the dominant stage
             self._build_heatmap_columnar(
                 cd, chrom, rows, rs_ids_srtd, poss_srtd, G, mixed_ctx,
                 src_file_base, trg_dir_path,
+                also_table=(cfg.matrix_type == "both"),
             )
-            if cfg.matrix_type == "both":
-                self._write_table_streamed(
-                    G, chrom, rs_ids_srtd, poss_srtd, src_file_base,
-                    trg_dir_path, mixed_ctx=mixed_ctx,
-                )
-            return
+            return True
 
         exact = (
             mixed_pair_ld(cd, cp, mixed_ctx[2], mixed_ctx[2])
@@ -200,14 +220,7 @@ class TriangleRunner:
 
         trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
         if cfg.matrix_type in ("heatmap", "both"):
-            # Title block, reference ld_triangle.py:310-316.
-            title = f"""
-defines color: {cfg.ld_measure} ░
-LD threshold: {cfg.ld_low_thres} ░
-chromosome: {chrom} ░
-genders: {", ".join(self.data.gend_names)} ░
-populations: {", ".join(self.data.pop_names)}
-"""
+            title = _title_text(cfg, self.data, chrom)
             figure = heatmap_io.build_figure(
                 ld_two_dim,
                 info_two_dim,
@@ -239,6 +252,7 @@ populations: {", ".join(self.data.pop_names)}
                 poss_srtd,
                 ld_two_dim,
             )
+        return True
 
 
 def run(args) -> int:
@@ -485,6 +499,7 @@ TriangleRunner._write_table_streamed = _write_table_streamed
 def _build_heatmap_columnar(
     self, cd, chrom, rows, rs_ids_srtd, poss_srtd, G, mixed_ctx,
     src_file_base, trg_dir_path, row_block: int = 2048, phase_stats=None,
+    also_table: bool = False,
 ):
     """Streamed columnar-figure heatmap for > _HOVER_CELLS_MAX variants.
 
@@ -570,6 +585,23 @@ def _build_heatmap_columnar(
     if overview:
         pool_f, pool_p = heatmap_io.pool_shape(n)
         pooled = np.full((pool_p, pool_p), -1, dtype=np.int64)
+    trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
+    table_fh = None
+    if also_table:
+        # '-o both': the TSV rows come out of the SAME streamed blocks
+        # (the rounded measure is already in hand) — a second device
+        # pass would double the dominant stage
+        from ld_tools_tpu.io.writers import write_triangle_header
+        from ld_tools_tpu.ops.exact import format_rounded
+
+        poss_str = [str(p) for p in poss_srtd]
+        table_fh = open(
+            os.path.join(trg_dir_path, trg_file_base + ".tsv"), "w"
+        )
+        write_triangle_header(
+            table_fh, cfg.ld_measure, chrom, self.data.pop_names,
+            self.data.gend_names, rs_ids_srtd, poss_str,
+        )
     pending = dispatch(0, min(row_block, n))
     for bi, r0 in enumerate(starts):
         r1 = min(r0 + row_block, n)
@@ -579,6 +611,21 @@ def _build_heatmap_columnar(
         _t0 = _time.perf_counter()
         r2r, r2iz, dpr, dpiz, p1r, p2r = finish(fin)
         ps["finish_s"] += _time.perf_counter() - _t0
+        if table_fh is not None:
+            mr = r2r if cfg.ld_measure == "r_square" else dpr
+            mz = r2iz if cfg.ld_measure == "r_square" else dpiz
+            for k in range(r1 - r0):
+                r = r0 + k
+                cells = format_rounded(mr[k, :r], mz[k, :r],
+                                       assume_rounded=True)
+                if cfg.ld_low_thres is not None:
+                    cells = np.where(
+                        mr[k, :r] >= cfg.ld_low_thres, cells, "0"
+                    )
+                table_fh.write(
+                    rs_ids_srtd[r] + "\t" + poss_str[r] + "\t"
+                    + "\t".join(cells.tolist() + ["0"] * (n - r)) + "\n"
+                )
         _t0 = _time.perf_counter()
         r2_parts.append(heatmap_io.encode_q_rows(
             r2r, r2iz, r0, r1, qdtype=qdtype,
@@ -609,16 +656,11 @@ def _build_heatmap_columnar(
         freq_q = np.rint(
             round4(c1 / float(G.shape[1])) * 1e4
         ).astype(np.int64)
-    title = f"""
-defines color: {cfg.ld_measure} ░
-LD threshold: {cfg.ld_low_thres} ░
-chromosome: {chrom} ░
-genders: {", ".join(self.data.gend_names)} ░
-populations: {", ".join(self.data.pop_names)}
-"""
+    title = _title_text(cfg, self.data, chrom)
+    if table_fh is not None:
+        table_fh.close()
     r2_all = b"".join(r2_parts)
     dp_all = b"".join(dp_parts)
-    trg_file_base = f"{src_file_base}_chr{chrom}_{cfg.ld_measure[0]}"
     if cfg.heatmap_json or not overview:
         # the full-resolution columnar figure: the HTML payload below
         # _OVERVIEW_MIN variants, and always the -j JSON debug dump

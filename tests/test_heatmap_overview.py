@@ -238,3 +238,53 @@ def test_browser_check_harness(tmp_path, monkeypatch):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["ok"]
+
+
+def test_both_output_single_pass_table_matches_streamed(tmp_path,
+                                                        monkeypatch):
+    """-o both past the hover cap writes the TSV from the SAME streamed
+    blocks as the heatmap; it must byte-match the dedicated table
+    writer's output."""
+    import types as _t
+
+    from ld_tools_tpu.tools.triangle import TriangleConfig, TriangleRunner
+
+    monkeypatch.setattr(heatmap_io, "_OVERVIEW_MIN", 20)
+    monkeypatch.setattr(heatmap_io, "_OVERVIEW_P", 8)
+    n = 30
+    rng = np.random.default_rng(9)
+    G = random_haplotypes(rng, n, 64, maf_low=0.05, maf_high=0.95)
+    rs = [f"rs{i}" for i in range(n)]
+    poss = list(range(1000, 1000 + 100 * n, 100))
+
+    def runner(thres):
+        cfg = TriangleConfig(
+            src_dir_path=".", trg_top_dir_path=".", meta_lines_quan=0,
+            ld_measure="r_square", ld_low_thres=thres,
+            matrix_type="both", heatmap_json=False, disp_letters=False,
+            color_pal="greens", font_size=None, square_shape=False,
+            dont_disp_footer=True,
+        )
+        return _t.SimpleNamespace(
+            config=cfg,
+            data=_t.SimpleNamespace(pop_names=("ALL",),
+                                    gend_names=("male", "female")),
+        )
+
+    class _CD:
+        def annotation(self, name):
+            return np.asarray(["A"] * n)
+
+    for thres in (None, 0.4):
+        self = runner(thres)
+        TriangleRunner._build_heatmap_columnar(
+            self, _CD(), "1", list(range(n)), rs, poss, G, None, "bt",
+            str(tmp_path), row_block=16, also_table=True,
+        )
+        TriangleRunner._write_table_streamed(
+            self, G, "1", rs, poss, "ded", str(tmp_path), row_block=16,
+        )
+        both = open(tmp_path / "bt_chr1_r.tsv", "rb").read()
+        dedicated = open(tmp_path / "ded_chr1_r.tsv", "rb").read()
+        assert both == dedicated and len(both) > 100
+    assert (tmp_path / "bt_chr1_r.html").exists()
