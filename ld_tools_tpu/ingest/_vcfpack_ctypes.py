@@ -53,16 +53,26 @@ class NativeScanError(RuntimeError):
 
 
 def _build() -> None:
+    # compile to a per-process temp path and rename into place: several
+    # pool workers may race to build, and dlopen of a half-written .so
+    # fails confusingly (rename is atomic; losers just overwrite with an
+    # identical library)
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB, "-lz", "-lpthread",
+        _SRC, "-o", tmp, "-lz", "-lpthread",
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, text=True, timeout=300
         )
+        os.replace(tmp, _LIB)
     except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired) as exc:
+            subprocess.TimeoutExpired, OSError) as exc:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         detail = getattr(exc, "stderr", "") or str(exc)
         raise NativeUnavailable(f"vcfpack build failed: {detail}") from exc
 

@@ -51,17 +51,27 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> None:
+    # compile to a per-process temp path and rename into place: several
+    # pool workers may race to build, and dlopen of a half-written .so
+    # fails confusingly (rename is atomic; losers just overwrite with an
+    # identical library)
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
         "-ffp-contract=off",  # REQUIRED: FMA contraction breaks f64 parity
-        _SRC, "-o", _LIB, "-lpthread",
+        _SRC, "-o", tmp, "-lpthread",
     ]
     try:
         subprocess.run(
             cmd, check=True, capture_output=True, text=True, timeout=300
         )
+        os.replace(tmp, _LIB)
     except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired) as exc:
+            subprocess.TimeoutExpired, OSError) as exc:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         detail = getattr(exc, "stderr", "") or str(exc)
         raise NativeUnavailable(f"exactfinish build failed: {detail}") from exc
 

@@ -21,9 +21,10 @@ Configs (BASELINE.md):
 6c. 10k-variant COLUMNAR heatmap (O(n) hover strings).
 4c. chr2-scale scan (204,800 variants) — amortizes per-scan constants.
 0gb. opt-in GB-scale ingest (>=1 GiB BGZF fixture, per-thread MB/s+RSS).
-wg. opt-in whole-genome prep: 6 chromosomes, >=5 GiB BGZF, one
+wg. opt-in whole-genome prep + scan: 6 chromosomes, >=5 GiB BGZF, one
     prep_intgen_data invocation end-to-end (the reference's 'half a
-    day' prep claim, measured).
+    day' prep claim, measured), then a 100 kb-window r^2 >= 0.8 scan
+    of every chromosome through the real tools/scan.run CLI path.
 """
 
 import argparse
@@ -398,18 +399,28 @@ def config4c():
 
 
 def _write_gb_fixture(path, chrom, n_samples, target_bytes, rng,
-                      level=1, rs_base=0):
+                      level=1, rs_base=0, n_base=256, correlated=False):
     """Stream-generate a BGZF VCF of ~target_bytes compressed size for
     one chromosome; returns (n_variants, text_bytes).  Level 1: speed
     over ratio — the scanner decompresses either way, and generation
-    must stay off the benchmark's critical path."""
+    must stay off the benchmark's critical path.
+
+    Genotype rows cycle through ``n_base`` pre-encoded lines (encoding
+    every row individually would dominate generation), so variants
+    ``n_base`` apart are IDENTICAL — r^2 == 1.0.  Whole-genome scan
+    configs therefore use ``correlated=True`` with a cycle long enough
+    that its repeat distance exceeds the scan window: in-window pairs
+    then carry the base block's genuine LD-decay structure
+    (synth.correlated_haplotypes) and no degenerate duplicate pairs."""
     from ld_tools_tpu.ingest import synth
 
-    n_base = 256
-    base = (
-        rng.random((n_base, 2 * n_samples))
-        < rng.uniform(0.05, 0.95, (n_base, 1))
-    ).astype(np.int8)
+    if correlated:
+        base = synth.correlated_haplotypes(rng, n_base, 2 * n_samples)
+    else:
+        base = (
+            rng.random((n_base, 2 * n_samples))
+            < rng.uniform(0.05, 0.95, (n_base, 1))
+        ).astype(np.int8)
     gt_lines = [synth._genotype_line_bytes(base[k]) for k in range(n_base)]
     v = 0
     text_bytes = 0
@@ -518,30 +529,41 @@ def config0gb():
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
-def config_wg():
-    """Whole-genome-scale prep, end-to-end (VERDICT r4 missing #3 /
-    next #2): a multi-chromosome >= 5 GiB BGZF dataset (1000G sample
-    count) through prep_intgen_data in ONE invocation — native scan +
-    bitpacked store + sidecars + conversion.db for every chromosome.
+def config_wg(n_chroms=6, total_gib=5):
+    """Whole-genome-scale prep + scan, end-to-end (VERDICT r4 missing
+    #3 / next #2): a multi-chromosome >= 5 GiB BGZF dataset (1000G
+    sample count) through prep_intgen_data in ONE invocation — native
+    scan + bitpacked store + sidecars + conversion.db for every
+    chromosome — then a windowed threshold scan of the whole store.
     This is the measured replacement for the reference's 'approximately
     half a day' one-time prep (reference README.md:73; its figure
     includes FTP downloads, ours is local-disk compute — both are the
-    one-time cost before fully-offline LD queries)."""
+    one-time cost before fully-offline LD queries).  ``$TPU_LD_WG_SCALE``
+    (e.g. '2,0.05' = 2 chromosomes, 0.05 GiB) shrinks the fixture for
+    smoke-testing the harness itself."""
     from ld_tools_tpu.ingest import prep_intgen_data, synth
 
+    scale = os.environ.get("TPU_LD_WG_SCALE")
+    if scale:
+        c, g = scale.split(",")
+        n_chroms, total_gib = int(c), float(g)
     n_samples = 2504
-    n_chroms = 6
-    per_chrom = (5 * (1 << 30)) // n_chroms + (64 << 20)
+    per_chrom = int(total_gib * (1 << 30)) // n_chroms + (
+        (1 << 20) if scale else (64 << 20)
+    )
     d = tempfile.mkdtemp(prefix="tpu_ld_wg_")
     t0 = time.time()
     total_v = 0
     total_text = 0
     for k in range(n_chroms):
         chrom = str(k + 1)
+        # 4096-row correlated cycle: repeat distance 4096 * 50 bp =
+        # 204.8 kb > the 100 kb scan window below, so the windowed scan
+        # sees only the base block's real LD-decay pairs
         v, tb = _write_gb_fixture(
             os.path.join(d, f"{chrom}.vcf.gz"), chrom, n_samples,
             per_chrom, np.random.default_rng(100 + k),
-            rs_base=k * 50_000_000,
+            rs_base=k * 50_000_000, n_base=4096, correlated=True,
         )
         total_v += v
         total_text += tb
@@ -580,6 +602,47 @@ def config_wg():
     dt2 = time.time() - t0
     print(f"config_wg re-prep (idempotent no-op): {dt2:.1f}s")
     record("wg_prep_5gb_rerun", dt2)
+
+    # Whole-genome SCAN of the freshly prepped store, through the real
+    # CLI path (tools/scan.run): every chromosome, all in-window pairs,
+    # 100 kb window (ld_area's default flank), r^2 >= 0.8 — the complete
+    # "prep a genome, then query it" reference workflow in one sitting
+    # (VERDICT r4 missing #3 asked for prep AND scan at >= 5 GB scale).
+    from ld_tools_tpu.ingest import HaplotypeStore
+    from ld_tools_tpu.tools import scan as scan_tool
+
+    max_dist = 100_000
+    scan_dir = os.path.join(d, "scan_out")
+    scan_args = types.SimpleNamespace(
+        intgen_dir_path=d, skip_intgen_data_ver=True, gend_names="both",
+        pop_names="all", chroms="all", trg_dir_path=scan_dir,
+        ld_measure="r_square", ld_low_thres=0.8, max_dist=max_dist,
+        checkpoint_dir=None, engine="auto", devices=None,
+    )
+    store = HaplotypeStore(d)
+    pairs_in_window = 0
+    for c in store.chroms():
+        p = np.asarray(store.chrom(c).pos)
+        # for each i, the count of j < i with pos_i - pos_j <= max_dist
+        lo = np.searchsorted(p, p - max_dist, side="left")
+        pairs_in_window += int((np.arange(p.shape[0]) - lo).sum())
+    t0 = time.time()
+    scan_tool.run(scan_args)
+    scan_s = time.time() - t0
+    hits = 0
+    for fn in sorted(os.listdir(scan_dir)):
+        with open(os.path.join(scan_dir, fn)) as fh:
+            hits += max(0, sum(1 for _ in fh) - 2)  # minus 2 header lines
+    print(
+        f"config_wg scan: {scan_s:.0f}s for {pairs_in_window / 1e9:.2f} "
+        f"Gpairs in-window across {n_chroms} chromosomes, {hits} hits "
+        f"(r^2 >= 0.8, window {max_dist / 1000:.0f} kb)"
+    )
+    record("wg_scan_100kb", scan_s, n_chroms=n_chroms, variants=total_v,
+           max_dist=max_dist,
+           pairs_in_window=pairs_in_window, hits=hits,
+           gpairs_per_s=round(pairs_in_window / scan_s / 1e9, 3))
+    record("wg_e2e_prep_plus_scan", dt + scan_s)
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
