@@ -502,3 +502,27 @@ def test_native_corrupt_bgzf_isize(tmp_path, built):
     open(path, "wb").write(bytes(data))
     with pytest.raises(native.NativeScanError):
         native.scan(path, n_threads=2)
+
+
+def test_build_failure_leaves_no_temp_and_raises(tmp_path, monkeypatch):
+    """A failed compile must raise NativeUnavailable and clean up the
+    per-process temp object (builds go to a temp path + atomic rename so
+    concurrent pool workers never dlopen a half-written .so)."""
+    import importlib
+
+    import ld_tools_tpu.ingest._vcfpack_ctypes as vp
+
+    bad_src = tmp_path / "broken.cpp"
+    bad_src.write_text("this is not C++\n")
+    monkeypatch.setenv("TPU_LD_NATIVE_SRC", str(bad_src))
+    mod = importlib.reload(vp)
+    try:
+        assert mod._SRC == str(bad_src)
+        with pytest.raises(mod.NativeUnavailable):
+            mod._build()
+        leftovers = [p for p in os.listdir(os.path.dirname(mod._LIB))
+                     if p.startswith(os.path.basename(mod._LIB) + ".tmp.")]
+        assert leftovers == []
+    finally:
+        monkeypatch.delenv("TPU_LD_NATIVE_SRC")
+        importlib.reload(vp)
