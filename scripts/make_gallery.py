@@ -163,6 +163,23 @@ def main():
             d.write(s.read())
     finally:
         heatmap_io._OVERVIEW_MIN, heatmap_io._OVERVIEW_P = ov_min, ov_p
+
+    # ld_scan: windowed whole-chromosome threshold scan (pair-list TSV —
+    # the beyond-reference tool; reuses the 560-variant chr9 store above)
+    from ld_tools_tpu.tools import scan as scan_tool
+
+    scan_out = os.path.join(work, "scan_out")
+    scan_tool.run(types.SimpleNamespace(
+        intgen_dir_path=bigdir, skip_intgen_data_ver=True,
+        gend_names="both", pop_names="all", chroms="9",
+        trg_dir_path=scan_out, ld_measure="r_square", ld_low_thres=0.5,
+        max_dist=100_000, checkpoint_dir=None, engine="auto", devices=None,
+    ))
+    picked_scan = sorted(os.listdir(scan_out))[0]
+    with open(os.path.join(scan_out, picked_scan)) as s, open(
+        os.path.join(gallery, picked_scan), "w"
+    ) as d:
+        d.write(s.read())
     print(f"gallery refreshed in {gallery}")
 
 
